@@ -1,0 +1,72 @@
+"""Point triangulation, pure JAX, batched.
+
+Replaces GeometricTools::Triangulate (/root/reference/src/GeometricTools.cc:
+DLT via SVD of the stacked 4x4 system) with a vmap-friendly formulation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def triangulate_dlt(xn1, xn2, R21, t21):
+    """Triangulate in camera-1 frame.
+
+    Args:
+      xn1, xn2: (..., 2) normalized image coords in cam1 / cam2.
+      R21, t21: pose of cam1 in cam2: x2 = R21 @ x1 + t21. Shapes (3,3),(3,)
+                (broadcast over leading dims of the points).
+    Returns:
+      (..., 3) points in cam-1 frame (may be behind either camera; caller
+      filters with `cheirality`).
+    """
+    P1 = jnp.concatenate([jnp.eye(3, dtype=xn1.dtype), jnp.zeros((3, 1), xn1.dtype)], axis=1)
+    P2 = jnp.concatenate([R21, t21[:, None]], axis=1)
+
+    def rows(xn, P):
+        # x * P[2] - P[0]; y * P[2] - P[1]
+        r0 = xn[..., 0:1] * P[2] - P[0]
+        r1 = xn[..., 1:2] * P[2] - P[1]
+        return r0, r1
+
+    a0, a1 = rows(xn1, P1)
+    a2, a3 = rows(xn2, P2)
+    A = jnp.stack([a0, a1, a2, a3], axis=-2)  # (...,4,4)
+    # Smallest right singular vector of A. SVD on small batched 4x4 is fine on
+    # TPU/CPU; use the eigen-decomposition of A^T A which lowers better.
+    AtA = jnp.swapaxes(A, -1, -2) @ A
+    w, v = jnp.linalg.eigh(AtA)
+    X = v[..., :, 0]  # eigenvector of smallest eigenvalue
+    Xh = X[..., :3] / jnp.where(jnp.abs(X[..., 3:]) < 1e-12, jnp.sign(X[..., 3:]) * 1e-12 + 1e-12, X[..., 3:])
+    return Xh
+
+
+def cheirality_and_error(p1, xn1, xn2, R21, t21, th2, min_parallax_cos=0.99998):
+    """Quality checks after triangulation (mirrors TwoViewReconstruction::CheckRT).
+
+    Args:
+      p1: (...,3) triangulated points in cam-1 frame.
+      th2: squared reprojection threshold in *normalized* coords.
+    Returns:
+      good: bool mask (...); parallax_cos (...,) cosine of parallax angle.
+    """
+    p2 = jnp.einsum("ij,...j->...i", R21, p1) + t21
+    finite = jnp.all(jnp.isfinite(p1), axis=-1)
+    z1_ok = p1[..., 2] > 0
+    z2_ok = p2[..., 2] > 0
+
+    # parallax between the two rays
+    O2_in_1 = -jnp.einsum("ji,j->i", R21, t21)  # camera-2 center in cam-1 frame
+    ray1 = p1
+    ray2 = p1 - O2_in_1
+    n1 = jnp.linalg.norm(ray1, axis=-1)
+    n2 = jnp.linalg.norm(ray2, axis=-1)
+    cosp = jnp.sum(ray1 * ray2, axis=-1) / jnp.maximum(n1 * n2, 1e-12)
+
+    e1 = p1[..., :2] / jnp.maximum(p1[..., 2:3], 1e-12) - xn1
+    e2 = p2[..., :2] / jnp.maximum(p2[..., 2:3], 1e-12) - xn2
+    r1_ok = jnp.sum(e1 * e1, axis=-1) < th2
+    r2_ok = jnp.sum(e2 * e2, axis=-1) < th2
+
+    good = finite & z1_ok & z2_ok & r1_ok & r2_ok & (cosp < min_parallax_cos)
+    return good, cosp
