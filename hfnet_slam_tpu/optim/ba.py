@@ -1,0 +1,184 @@
+"""Bundle adjustment with Schur-complement landmark elimination, pure JAX.
+
+One engine replaces the reference's g2o-based BundleAdjustment /
+LocalBundleAdjustment / GlobalBundleAdjustemnt family
+(/root/reference/src/Optimizer.cc:52-390, :1116-1498): Levenberg-Marquardt
+over keyframe SE3 poses + landmark positions with monocular reprojection
+factors, landmarks marginalized per-point (the role g2o's
+`setMarginalized(true)` plays at Optimizer.cc:1289), and chi-square
+outlier re-classification between rounds.
+
+TPU design:
+  * Edges are fixed-capacity arrays (kf_idx, pt_idx, uv, inv_sigma2, valid);
+    residuals/Jacobians are vmapped, normal-equation blocks accumulated with
+    segment-sums.
+  * The camera-point coupling is materialized as a dense (M, K, 6, 3) block
+    tensor W — for SLAM-scale local BA (K <= 64 keyframes, M <= 16k points)
+    this fits comfortably in HBM and turns the Schur reduction
+    S = Hcc - W^T Hpp^-1 W into two large batched matmuls on the MXU,
+    instead of g2o's sparse pointer-chasing.
+  * The reduced (6K, 6K) camera system is solved densely.
+
+The same edge layout is what the distributed variant shards over a device
+mesh (parallel/dist_ba.py): landmark blocks are embarrassingly parallel and
+the reduced system is formed with a psum.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import lie
+from ..geometry import cameras
+from . import factors
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape BA problem. K keyframes, M points, E edges (padded)."""
+
+    poses_R: jnp.ndarray     # (K,3,3) world->cam
+    poses_t: jnp.ndarray     # (K,3)
+    fixed: jnp.ndarray       # (K,) bool — poses held constant
+    points: jnp.ndarray      # (M,3)
+    kf_idx: jnp.ndarray      # (E,) int32
+    pt_idx: jnp.ndarray      # (E,) int32
+    uv: jnp.ndarray          # (E,2)
+    inv_sigma2: jnp.ndarray  # (E,)
+    valid: jnp.ndarray       # (E,) bool
+
+
+def _edge_terms(cam_kind, cam_params, prob: BAProblem, w_extra):
+    """Per-edge residuals, Jacobians and weights."""
+    R = prob.poses_R[prob.kf_idx]
+    t = prob.poses_t[prob.kf_idx]
+    p = prob.points[prob.pt_idx]
+
+    def one(R, t, p, uv):
+        return factors.reproj_residual(cam_kind, cam_params, R, t, p, uv)
+
+    r, Jc, Jp, depth = jax.vmap(one)(R, t, p, prob.uv)
+    w = w_extra * prob.inv_sigma2 * prob.valid * (depth > 0)
+    return r, Jc, Jp, w, depth
+
+
+def _robust_cost(chi2, delta2, robust):
+    huber = jnp.where(
+        chi2 <= delta2, chi2, 2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 0.0)) - delta2
+    )
+    return jnp.where(robust, huber, chi2)
+
+
+@partial(jax.jit, static_argnames=("cam_kind", "n_iters", "robust"))
+def ba_iterate(cam_kind, cam_params, prob: BAProblem, n_iters: int, robust: bool, chi2_th: float):
+    """Run n_iters of LM with landmark marginalization. Returns updated prob."""
+    K = prob.poses_R.shape[0]
+    M = prob.points.shape[0]
+    delta2 = chi2_th
+
+    def total_cost(poses_R, poses_t, points):
+        p2 = prob._replace(poses_R=poses_R, poses_t=poses_t, points=points)
+        r, _, _, w0, depth = _edge_terms(cam_kind, cam_params, p2, 1.0)
+        chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
+        m = prob.valid * (depth > 0)
+        return jnp.sum(_robust_cost(chi2, delta2, robust) * m)
+
+    def lm_step(carry, _):
+        poses_R, poses_t, points, lam = carry
+        p2 = prob._replace(poses_R=poses_R, poses_t=poses_t, points=points)
+        r, Jc, Jp, w, depth = _edge_terms(cam_kind, cam_params, p2, 1.0)
+        chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
+        if robust:
+            w = w * factors.huber_weight(chi2, delta2)
+
+        # --- normal equation blocks (segment sums over edges) -----------
+        JcW = Jc * w[:, None, None]
+        Hcc = jax.ops.segment_sum(
+            jnp.einsum("eri,erj->eij", JcW, Jc), prob.kf_idx, K
+        )  # (K,6,6)
+        bc = jax.ops.segment_sum(jnp.einsum("eri,er->ei", JcW, r), prob.kf_idx, K)
+        JpW = Jp * w[:, None, None]
+        Hpp = jax.ops.segment_sum(
+            jnp.einsum("eri,erj->eij", JpW, Jp), prob.pt_idx, M
+        )  # (M,3,3)
+        bp = jax.ops.segment_sum(jnp.einsum("eri,er->ei", JpW, r), prob.pt_idx, M)
+        Wcp = jax.ops.segment_sum(
+            jnp.einsum("eri,erj->eij", JcW, Jp),
+            prob.pt_idx * K + prob.kf_idx,
+            M * K,
+        ).reshape(M, K, 6, 3)
+
+        # --- damping ----------------------------------------------------
+        eyeK6 = jnp.eye(6)
+        eye3 = jnp.eye(3)
+        Hpp_d = Hpp + (lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., None] * eye3
+        Hcc_d = Hcc + (lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., None] * eyeK6
+
+        Hpp_inv = jnp.linalg.inv(Hpp_d)
+
+        # --- Schur complement: S = Hcc - W Hpp^-1 W^T -------------------
+        WHinv = jnp.einsum("mkac,mcd->mkad", Wcp, Hpp_inv)  # (M,K,6,3)
+        S_off = -jnp.einsum("mkad,mled->kale", WHinv, Wcp)  # (K,6,K,6)
+        S = S_off.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc_d)
+        rhs = -bc + jnp.einsum("mkad,md->ka", WHinv, bp)  # (K,6)
+
+        # --- freeze fixed cameras --------------------------------------
+        free = (~prob.fixed).astype(S.dtype)
+        S = S * free[:, None, None, None] * free[None, None, :, None]
+        S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
+            jnp.eye(6) * prob.fixed[:, None, None]
+        )
+        rhs = rhs * free[:, None]
+
+        dc = jnp.linalg.solve(S.reshape(K * 6, K * 6), rhs.reshape(K * 6)).reshape(K, 6)
+        dc = dc * free[:, None]
+
+        # --- back-substitute landmarks ---------------------------------
+        Hpc_dc = jnp.einsum("mkac,ka->mc", Wcp, dc)  # (M,3)
+        dp = jnp.einsum("mcd,md->mc", Hpp_inv, -bp - Hpc_dc)
+
+        R_new, t_new = jax.vmap(lie.se3_retract)(poses_R, poses_t, dc)
+        pts_new = points + dp
+
+        c_old = total_cost(poses_R, poses_t, points)
+        c_new = total_cost(R_new, t_new, pts_new)
+        ok = (c_new < c_old) & jnp.all(jnp.isfinite(dc)) & jnp.all(jnp.isfinite(dp))
+        poses_R = jnp.where(ok, R_new, poses_R)
+        poses_t = jnp.where(ok, t_new, poses_t)
+        points = jnp.where(ok, pts_new, points)
+        lam = jnp.where(ok, jnp.maximum(lam * 0.33, 1e-7), jnp.minimum(lam * 4.0, 1e4))
+        return (poses_R, poses_t, points, lam), c_new
+
+    (R, t, pts, _), costs = jax.lax.scan(
+        lm_step, (prob.poses_R, prob.poses_t, prob.points, 1e-4), None, length=n_iters
+    )
+    return prob._replace(poses_R=R, poses_t=t, points=pts), costs
+
+
+@partial(jax.jit, static_argnames=("cam_kind",))
+def classify_edges(cam_kind, cam_params, prob: BAProblem, chi2_th: float, base_valid):
+    """Re-classify edges against the base validity set (outlier recycling)."""
+    r, _, _, _, depth = _edge_terms(cam_kind, cam_params, prob, 1.0)
+    chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
+    return base_valid & (chi2 <= chi2_th) & (depth > 0)
+
+
+def bundle_adjust(
+    cam_kind,
+    cam_params,
+    prob: BAProblem,
+    rounds=((5, True), (10, True), (8, False)),
+    chi2_th: float = factors.CHI2_MONO,
+    final_classify: bool = True,
+):
+    """Full BA schedule: LM rounds with outlier re-classification between
+    them (mirrors LocalBundleAdjustment's 5-iteration probe + 10-iteration
+    main solve, Optimizer.cc:1350-1365, and its final outlier sweep)."""
+    base_valid = prob.valid
+    for n_iters, robust in rounds:
+        prob, _ = ba_iterate(cam_kind, cam_params, prob, n_iters, robust, chi2_th)
+        new_valid = classify_edges(cam_kind, cam_params, prob, chi2_th, base_valid)
+        prob = prob._replace(valid=new_valid)
+    return prob

@@ -1,0 +1,42 @@
+"""Shared factor (residual/Jacobian) builders for the Gauss-Newton engine.
+
+One functional factor library replaces the reference's g2o vertex/edge zoo
+(src/G2oTypes.cc, src/OptimizableTypes.cpp): every factor returns
+(residual, Jacobians, weight) for fixed-shape batched edges under vmap.
+
+Conventions:
+  * Poses are world->camera (Tcw = (R, t)), like the reference.
+  * Tangent updates are LEFT-multiplicative on Tcw: T' = Exp(xi) T,
+    xi = [rho, phi] — matching lie.se3_retract.
+  * chi2 thresholds: 5.991 (mono, 2 dof) / 7.815 (stereo, 3 dof)
+    (src/Optimizer.cc:871-872).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import lie
+from ..geometry import cameras
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+
+
+def huber_weight(chi2, delta2):
+    """Huber IRLS weight on the squared, information-weighted residual."""
+    return jnp.where(chi2 <= delta2, 1.0, jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
+
+
+def reproj_residual(cam_kind, cam_params, R, t, p_w, uv):
+    """Monocular reprojection residual + Jacobians.
+
+    Returns r (2,), J_pose (2,6) wrt left-tangent of Tcw, J_point (2,3) wrt
+    world point, depth (scalar, for cheirality gating)."""
+    pc = R @ p_w + t
+    r = cameras.project(cam_kind, cam_params, pc) - uv
+    Jproj = cameras.project_jac(cam_kind, cam_params, pc)  # (2,3)
+    # d pc / d xi for T' = Exp(xi) Tcw: dpc = drho + dphi x pc
+    J_pose = jnp.concatenate([Jproj, -Jproj @ lie.hat(pc)], axis=1)  # (2,6)
+    J_point = Jproj @ R
+    return r, J_pose, J_point, pc[2]

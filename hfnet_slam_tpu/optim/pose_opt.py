@@ -1,0 +1,100 @@
+"""Motion-only pose optimization (the per-frame tracking optimizer).
+
+Replaces Optimizer::PoseOptimization (/root/reference/src/Optimizer.cc:
+814-1114): g2o Levenberg-Marquardt over a single SE3 vertex with monocular
+reprojection edges, run as 4 rounds x 10 iterations with chi-square
+inlier/outlier re-classification between rounds (outliers are *recycled*:
+an edge marked outlier can return if its error drops below the gate), and
+the Huber kernel dropped from round 3 on (Optimizer.cc:1040).
+
+Here the whole schedule is one jitted fixed-shape computation: residuals
+and 6x6 normal equations are batched over the (padded) observation set.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import lie
+from . import factors
+
+N_ROUNDS = 4
+N_ITERS = 10
+
+
+@partial(jax.jit, static_argnames=("cam_kind",))
+def pose_optimize(
+    cam_kind,
+    cam_params,
+    R0,
+    t0,
+    points_w,
+    uv,
+    inv_sigma2,
+    valid,
+    chi2_th: float = factors.CHI2_MONO,
+):
+    """Optimize Tcw given fixed 3-D points and their observations.
+
+    Args:
+      R0, t0: initial world->camera pose.
+      points_w: (N,3) world points.
+      uv: (N,2) observed pixels.
+      inv_sigma2: (N,) information scale (1/1.2^(2*octave) per the
+        reference's per-level sigma).
+      valid: (N,) bool.
+    Returns dict(R, t, inlier (N,), n_inliers).
+    """
+    delta2 = chi2_th  # Huber delta^2 = chi2 threshold (deltaMono = sqrt(5.991))
+
+    def residuals(R, t):
+        r, Jp, _, depth = jax.vmap(
+            lambda p, u: factors.reproj_residual(cam_kind, cam_params, R, t, p, u)
+        )(points_w, uv)
+        return r, Jp, depth
+
+    def chi2_of(r):
+        return jnp.sum(r * r, axis=-1) * inv_sigma2
+
+    def gn_round(carry, robust):
+        R, t, inlier = carry
+
+        def gn_step(st, _):
+            R, t, lam = st
+            r, J, depth = residuals(R, t)
+            chi2 = chi2_of(r)
+            w = jnp.where(robust, factors.huber_weight(chi2, delta2), 1.0)
+            w = w * inv_sigma2 * inlier * (depth > 0)
+            H = jnp.einsum("nri,n,nrj->ij", J, w, J)
+            b = jnp.einsum("nri,n,nr->i", J, w, r)
+            H = H + lam * jnp.diag(jnp.diag(H))
+            dx = -jnp.linalg.solve(H + 1e-9 * jnp.eye(6), b)
+            R_new, t_new = lie.se3_retract(R, t, dx)
+            # accept if total robust cost decreases
+            r2, _, d2 = residuals(R_new, t_new)
+            c_old = jnp.sum(jnp.minimum(chi2, delta2 + jnp.sqrt(delta2 * jnp.maximum(chi2 - delta2, 0.0))) * inlier)
+            chi2_new = chi2_of(r2)
+            c_new = jnp.sum(jnp.minimum(chi2_new, delta2 + jnp.sqrt(delta2 * jnp.maximum(chi2_new - delta2, 0.0))) * inlier)
+            accept = c_new < c_old
+            R = jnp.where(accept, R_new, R)
+            t = jnp.where(accept, t_new, t)
+            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+            return (R, t, lam), None
+
+        (R, t, _), _ = jax.lax.scan(gn_step, (R, t, 1e-4), None, length=N_ITERS)
+        # re-classify: outlier recycling — recompute from the base valid set
+        r, _, depth = residuals(R, t)
+        chi2 = chi2_of(r)
+        inlier = valid & (chi2 <= chi2_th) & (depth > 0)
+        return (R, t, inlier.astype(jnp.float32)), None
+
+    inlier0 = valid.astype(jnp.float32)
+    carry = (R0, t0, inlier0)
+    # rounds 1-2 with Huber, rounds 3-4 plain least squares (Optimizer.cc:1040)
+    for rnd in range(N_ROUNDS):
+        carry, _ = gn_round(carry, robust=jnp.asarray(rnd < 2))
+    R, t, inlier_f = carry
+    inlier = inlier_f > 0
+    return {"R": R, "t": t, "inlier": inlier, "n_inliers": jnp.sum(inlier)}
