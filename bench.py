@@ -1,0 +1,69 @@
+"""Headline benchmark: HF-Net full-pyramid feature extraction latency.
+
+Reference baseline (BASELINE.md): TensorRT FP16 on RTX 2070 Max-Q extracts
+the full 4-level pyramid (1000 keypoints, EuRoC 752x480) in 7.53 ms —
+the dominant per-frame cost of the ~50 FPS SLAM loop.
+
+Here the same workload runs as ONE batched bf16 XLA program on a TPU chip:
+4 pyramid levels stacked on a common canvas, conv backbone + heads, in-graph
+NMS, per-level top-K and bilinear descriptor sampling (models/extractor.py).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline > 1 means faster than the reference's 7.53 ms.
+"""
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_hfnet")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_MS = 7.53  # TRT FP16, Examples/Utility/test_extractors.cc:40-48
+
+
+def main():
+    import sys
+
+    from hfnet_slam_tpu.models import hfnet
+    from hfnet_slam_tpu.models.extractor import HFExtractor
+
+    smoke = "--smoke" in sys.argv
+    if smoke:
+        # hermetic CPU smoke; the env's JAX_PLATFORMS is overridden by the
+        # axon plugin, so force via config
+        jax.config.update("jax_platforms", "cpu")
+    params = hfnet.init_params(jax.random.PRNGKey(0))
+    # EuRoC 752x480 grayscale, 1000 features over 4 levels (EuRoC.yaml:67-80)
+    hw, nf, nl = ((96, 128), 100, 2) if smoke else ((480, 752), 1000, 4)
+    ext = HFExtractor(
+        params, hw, n_features=nf, n_levels=nl,
+        scale_factor=1.2, pad_to=1024, dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(0, 255, hw).astype(np.float32))
+
+    # warm-up / compile
+    for _ in range(3):
+        feats = ext(image)
+        jax.block_until_ready(feats.desc)
+
+    times = []
+    for _ in range(5 if smoke else 30):
+        t0 = time.perf_counter()
+        feats = ext(image)
+        jax.block_until_ready(feats.desc)
+        times.append((time.perf_counter() - t0) * 1e3)
+    ms = float(np.median(times))
+    print(json.dumps({
+        "metric": "pyramid_extraction_latency",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

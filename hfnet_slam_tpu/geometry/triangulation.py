@@ -42,6 +42,10 @@ def triangulate_dlt(xn1, xn2, R21, t21):
 
 
 def cheirality_and_error(p1, xn1, xn2, R21, t21, th2, min_parallax_cos=0.99998):
+    # min_parallax_cos: 0.99998 (0.36 deg) matches TwoViewReconstruction's
+    # init gate; mapping-time triangulation should pass 0.9998 (1.15 deg,
+    # ORB-SLAM3 CreateNewMapPoints' mono gate) — short-baseline points have
+    # meter-scale depth noise that poisons tracking.
     """Quality checks after triangulation (mirrors TwoViewReconstruction::CheckRT).
 
     Args:

@@ -229,7 +229,12 @@ def _check_motion(R21, t21, x1, x2, mask, th2):
     idx = jnp.clip(k - 1, 0, cosp_masked.shape[0] - 1)
     parallax_cos = sorted_cos[idx]
     parallax_deg = jnp.degrees(jnp.arccos(jnp.clip(parallax_cos, -1.0, 1.0)))
-    return n_good, parallax_deg, p1, good
+    # median parallax over good points (bad -> cos 1.0, sorts last): the
+    # top-50 metric passes even when the BULK of the map has near-zero
+    # parallax (tiny baseline vs scene depth), which yields a garbage map
+    med_idx = jnp.clip(n_good // 2, 0, cosp_masked.shape[0] - 1)
+    med_deg = jnp.degrees(jnp.arccos(jnp.clip(sorted_cos[med_idx], -1.0, 1.0)))
+    return n_good, parallax_deg, p1, good, med_deg
 
 
 @partial(jax.jit, static_argnames=("n_hyp",))
@@ -284,7 +289,7 @@ def reconstruct_two_views(x1, x2, mask, key, sigma_n, n_hyp=200, min_parallax_de
     th2 = 4.0 * sigma2  # squared reproj threshold (CheckRT uses 4 sigma^2)
 
     def eval_family(Rs, ts, inl):
-        n_goods, parallaxes, p3ds, goods = jax.vmap(
+        n_goods, parallaxes, p3ds, goods, med_degs = jax.vmap(
             lambda R, t: _check_motion(R, t, x1, x2, inl, th2)
         )(Rs, ts)
         best = jnp.argmax(n_goods)
@@ -301,7 +306,7 @@ def reconstruct_two_views(x1, x2, mask, key, sigma_n, n_hyp=200, min_parallax_de
             & (n_second < 0.75 * n_best)
             & (parallaxes[best] > min_parallax_deg)
         )
-        return ok, Rs[best], ts[best], p3ds[best], goods[best], n_best, parallaxes[best]
+        return ok, Rs[best], ts[best], p3ds[best], goods[best], n_best, parallaxes[best], med_degs[best]
 
     res_E = eval_family(R_E, t_E, inl_F)
     res_H = eval_family(R_H, t_H, inl_H)
@@ -325,6 +330,7 @@ def reconstruct_two_views(x1, x2, mask, key, sigma_n, n_hyp=200, min_parallax_de
         "n_good": pick(5),
         "used_H": pick_H,
         "parallax_deg": pick(6),
+        "med_parallax_deg": pick(7),
         "score_F": SF,
         "score_H": SH,
     }

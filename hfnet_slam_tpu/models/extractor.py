@@ -97,6 +97,12 @@ def _extract_pyramid(params, image, *, cfg) -> Features:
     H, W = cfg["image_hw"]
     L = len(cfg["level_hw"])
     dtype = cfg["dtype"]
+    if dtype != jnp.float32:
+        # run the conv stack in bf16 on the MXU; selection/normalization
+        # stages below cast back to f32
+        params = jax.tree.map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params
+        )
 
     # ---- build pyramid on a common canvas -------------------------------
     canvases = []

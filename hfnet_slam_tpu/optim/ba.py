@@ -73,17 +73,32 @@ def _robust_cost(chi2, delta2, robust):
 
 @partial(jax.jit, static_argnames=("cam_kind", "n_iters", "robust"))
 def ba_iterate(cam_kind, cam_params, prob: BAProblem, n_iters: int, robust: bool, chi2_th: float):
-    """Run n_iters of LM with landmark marginalization. Returns updated prob."""
+    """Run n_iters of LM with landmark marginalization. Returns updated prob.
+
+    Numerics: computation runs in the dtype of the problem arrays (f32 on
+    TPU). The f64-free stability measures — lambda floor and step trust
+    region — are load-bearing: without them the near-gauge directions of
+    monocular BA random-walk under f32 round-off and the map warps.
+    """
     K = prob.poses_R.shape[0]
     M = prob.points.shape[0]
     delta2 = chi2_th
+    f64 = prob.poses_R.dtype == jnp.float64
+    lam_min = 1e-7 if f64 else 1e-4
+    # step cap in scene units; map scale is median-depth-normalized to ~1
+    max_step = jnp.asarray(1e3 if f64 else 0.25, prob.poses_R.dtype)
 
-    def total_cost(poses_R, poses_t, points):
+    def edge_costs(poses_R, poses_t, points):
+        """Per-edge robust costs. Accept/reject must compare the SUM OF
+        PER-EDGE DIFFERENCES, not the difference of two large sums: with
+        thousands of edges the total is ~1e4 while a converged LM step
+        changes it by ~1e-2 — below f32 resolution, so a naive comparison
+        accepts noise and the solution random-walks."""
         p2 = prob._replace(poses_R=poses_R, poses_t=poses_t, points=points)
         r, _, _, w0, depth = _edge_terms(cam_kind, cam_params, p2, 1.0)
         chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
         m = prob.valid * (depth > 0)
-        return jnp.sum(_robust_cost(chi2, delta2, robust) * m)
+        return _robust_cost(chi2, delta2, robust) * m
 
     def lm_step(carry, _):
         poses_R, poses_t, points, lam = carry
@@ -111,8 +126,8 @@ def ba_iterate(cam_kind, cam_params, prob: BAProblem, n_iters: int, robust: bool
         ).reshape(M, K, 6, 3)
 
         # --- damping ----------------------------------------------------
-        eyeK6 = jnp.eye(6)
-        eye3 = jnp.eye(3)
+        eyeK6 = jnp.eye(6, dtype=poses_R.dtype)
+        eye3 = jnp.eye(3, dtype=poses_R.dtype)
         Hpp_d = Hpp + (lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., None] * eye3
         Hcc_d = Hcc + (lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., None] * eyeK6
 
@@ -128,31 +143,50 @@ def ba_iterate(cam_kind, cam_params, prob: BAProblem, n_iters: int, robust: bool
         free = (~prob.fixed).astype(S.dtype)
         S = S * free[:, None, None, None] * free[None, None, :, None]
         S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
-            jnp.eye(6) * prob.fixed[:, None, None]
+            eyeK6 * prob.fixed[:, None, None]
         )
         rhs = rhs * free[:, None]
 
         dc = jnp.linalg.solve(S.reshape(K * 6, K * 6), rhs.reshape(K * 6)).reshape(K, 6)
         dc = dc * free[:, None]
 
+        # trust region: monocular BA has near-gauge (scale/warp) directions
+        # whose tiny eigenvalues make f32 solves wander; cap the camera step
+        # norm so quasi-nullspace excursions can't be accepted on cost noise
+        step = jnp.sqrt(jnp.sum(dc * dc, axis=-1))
+        shrink = jnp.minimum(1.0, max_step / jnp.maximum(jnp.max(step), 1e-12))
+        dc = dc * shrink
+
         # --- back-substitute landmarks ---------------------------------
         Hpc_dc = jnp.einsum("mkac,ka->mc", Wcp, dc)  # (M,3)
         dp = jnp.einsum("mcd,md->mc", Hpp_inv, -bp - Hpc_dc)
+        pstep = jnp.sqrt(jnp.sum(dp * dp, axis=-1))
+        dp = dp * jnp.minimum(1.0, max_step / jnp.maximum(pstep, 1e-12))[:, None]
 
         R_new, t_new = jax.vmap(lie.se3_retract)(poses_R, poses_t, dc)
+        R_new = R_new.astype(poses_R.dtype)
+        t_new = t_new.astype(poses_t.dtype)
         pts_new = points + dp
 
-        c_old = total_cost(poses_R, poses_t, points)
-        c_new = total_cost(R_new, t_new, pts_new)
-        ok = (c_new < c_old) & jnp.all(jnp.isfinite(dc)) & jnp.all(jnp.isfinite(dp))
+        costs_old = edge_costs(poses_R, poses_t, points)
+        costs_new = edge_costs(R_new, t_new, pts_new)
+        dcost = jnp.sum(costs_new - costs_old)
+        c_new = jnp.sum(costs_new)
+        ok = (dcost < 0) & jnp.all(jnp.isfinite(dc)) & jnp.all(jnp.isfinite(dp))
         poses_R = jnp.where(ok, R_new, poses_R)
         poses_t = jnp.where(ok, t_new, poses_t)
         points = jnp.where(ok, pts_new, points)
-        lam = jnp.where(ok, jnp.maximum(lam * 0.33, 1e-7), jnp.minimum(lam * 4.0, 1e4))
+        # lambda floor 1e-4: below this the damped system's small (near-gauge)
+        # eigenvalues sink under f32 solve noise (g2o runs in f64 and can
+        # afford 1e-7; we cannot on TPU)
+        lam = jnp.where(ok, jnp.maximum(lam * 0.33, lam_min), jnp.minimum(lam * 4.0, 1e4))
         return (poses_R, poses_t, points, lam), c_new
 
     (R, t, pts, _), costs = jax.lax.scan(
-        lm_step, (prob.poses_R, prob.poses_t, prob.points, 1e-4), None, length=n_iters
+        lm_step,
+        (prob.poses_R, prob.poses_t, prob.points, jnp.asarray(1e-4, prob.poses_R.dtype)),
+        None,
+        length=n_iters,
     )
     return prob._replace(poses_R=R, poses_t=t, points=pts), costs
 

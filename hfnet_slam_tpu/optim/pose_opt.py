@@ -72,18 +72,22 @@ def pose_optimize(
             H = H + lam * jnp.diag(jnp.diag(H))
             dx = -jnp.linalg.solve(H + 1e-9 * jnp.eye(6), b)
             R_new, t_new = lie.se3_retract(R, t, dx)
-            # accept if total robust cost decreases
+            # accept if total robust cost decreases; compare via the sum of
+            # per-edge differences — differencing two large f32 sums loses
+            # the signal once the step reduction is ~1e-4 of the total
             r2, _, d2 = residuals(R_new, t_new)
-            c_old = jnp.sum(jnp.minimum(chi2, delta2 + jnp.sqrt(delta2 * jnp.maximum(chi2 - delta2, 0.0))) * inlier)
+            co = jnp.minimum(chi2, delta2 + jnp.sqrt(delta2 * jnp.maximum(chi2 - delta2, 0.0))) * inlier
             chi2_new = chi2_of(r2)
-            c_new = jnp.sum(jnp.minimum(chi2_new, delta2 + jnp.sqrt(delta2 * jnp.maximum(chi2_new - delta2, 0.0))) * inlier)
-            accept = c_new < c_old
+            cn = jnp.minimum(chi2_new, delta2 + jnp.sqrt(delta2 * jnp.maximum(chi2_new - delta2, 0.0))) * inlier
+            accept = jnp.sum(cn - co) < 0
             R = jnp.where(accept, R_new, R)
             t = jnp.where(accept, t_new, t)
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-            return (R, t, lam), None
+            return (R.astype(st[0].dtype), t.astype(st[1].dtype), lam), None
 
-        (R, t, _), _ = jax.lax.scan(gn_step, (R, t, 1e-4), None, length=N_ITERS)
+        (R, t, _), _ = jax.lax.scan(
+            gn_step, (R, t, jnp.asarray(1e-4, R.dtype)), None, length=N_ITERS
+        )
         # re-classify: outlier recycling — recompute from the base valid set
         r, _, depth = residuals(R, t)
         chi2 = chi2_of(r)

@@ -1,0 +1,182 @@
+"""Distributed bundle adjustment over a JAX device mesh.
+
+The reference has no distributed backend at all (SURVEY.md §2.4): its
+parallelism is three POSIX threads and per-object mutexes. This module is
+the TPU-native scale-out path: Schur-complement BA where the LANDMARK
+blocks — embarrassingly parallel after marginalization — are sharded
+across devices, and the reduced camera system (small, dense) is formed
+with a `psum` over the mesh and solved replicated.
+
+Partitioning contract: each device owns a contiguous slab of M/n_dev
+landmarks AND every (padded) edge that observes them. The host packs
+edges into per-device buckets (`partition_edges`); inside `shard_map`
+each device computes
+
+    Hpp (local), bp (local), Wcp (local M-slab x all K cameras),
+    partial Hcc / bc  (its edges only)
+
+then `psum` produces the full (K,6,6)+(K,6) camera system and the full
+Schur complement S = Hcc - W Hpp^-1 W^T on every device; the (6K x 6K)
+solve is replicated (tiny), and each device back-substitutes only its own
+landmark slab. Communication per iteration = one psum of O(K^2 * 36)
+floats over ICI — independent of the landmark count.
+
+Design: jax-ml.github.io/scaling-book recipe — pick a mesh, annotate
+shardings, let collectives ride ICI; no NCCL/MPI analogue needed.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import lie
+from ..optim import factors
+
+
+class ShardedBA(NamedTuple):
+    """Edge/landmark arrays pre-bucketed per device.
+
+    D = n_devices, Ml = landmarks per device, El = edges per device.
+    Landmark ids inside each shard are LOCAL (0..Ml); camera ids global.
+    """
+
+    poses_R: jnp.ndarray      # (K,3,3) replicated
+    poses_t: jnp.ndarray      # (K,3)
+    fixed: jnp.ndarray        # (K,)
+    points: jnp.ndarray       # (D,Ml,3) sharded along D
+    kf_idx: jnp.ndarray       # (D,El)
+    pt_idx: jnp.ndarray       # (D,El) local landmark index
+    uv: jnp.ndarray           # (D,El,2)
+    inv_sigma2: jnp.ndarray   # (D,El)
+    valid: jnp.ndarray        # (D,El)
+
+
+def partition_edges(n_dev, K, M_per_dev, E_per_dev, poses_R, poses_t, fixed,
+                    points, kf_idx, pt_idx, uv, inv_sigma2, valid):
+    """Host-side packing: landmarks round-robin into n_dev slabs, each edge
+    into its landmark's slab. Overflow beyond the per-device caps is
+    dropped (log if it matters; caps should be sized to the problem)."""
+    D, Ml, El = n_dev, M_per_dev, E_per_dev
+    pts = np.zeros((D, Ml, 3), np.float32)
+    kfe = np.zeros((D, El), np.int32)
+    pte = np.zeros((D, El), np.int32)
+    uve = np.zeros((D, El, 2), np.float32)
+    ise = np.ones((D, El), np.float32)
+    vae = np.zeros((D, El), bool)
+
+    M = len(points)
+    owner = np.arange(M) % D
+    local = np.arange(M) // D
+    ok = local < Ml
+    for d in range(D):
+        sel = ok & (owner == d)
+        pts[d, local[sel]] = points[sel]
+    fill = np.zeros(D, int)
+    for e in range(len(kf_idx)):
+        if not valid[e]:
+            continue
+        m = pt_idx[e]
+        d = owner[m]
+        if not ok[m] or fill[d] >= El:
+            continue
+        i = fill[d]
+        kfe[d, i] = kf_idx[e]
+        pte[d, i] = local[m]
+        uve[d, i] = uv[e]
+        ise[d, i] = inv_sigma2[e]
+        vae[d, i] = True
+        fill[d] += 1
+    return ShardedBA(
+        poses_R=jnp.asarray(poses_R), poses_t=jnp.asarray(poses_t),
+        fixed=jnp.asarray(fixed), points=jnp.asarray(pts),
+        kf_idx=jnp.asarray(kfe), pt_idx=jnp.asarray(pte),
+        uv=jnp.asarray(uve), inv_sigma2=jnp.asarray(ise), valid=jnp.asarray(vae),
+    ), (owner, local, ok)
+
+
+def _shard_terms(cam_kind, cam_params, poses_R, poses_t, points,
+                 kf_idx, pt_idx, uv, inv_sigma2, valid, robust, delta2):
+    """Per-edge residual/Jacobian terms for one device's edge bucket."""
+    R = poses_R[kf_idx]
+    t = poses_t[kf_idx]
+    p = points[pt_idx]
+    r, Jc, Jp, depth = jax.vmap(
+        lambda R, t, p, u: factors.reproj_residual(cam_kind, cam_params, R, t, p, u)
+    )(R, t, p, uv)
+    chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+    w = inv_sigma2 * valid * (depth > 0)
+    if robust:
+        w = w * factors.huber_weight(chi2, delta2)
+    return r, Jc, Jp, w
+
+
+def dist_lm_step(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
+                 lam: float = 1e-4, robust: bool = True,
+                 chi2_th: float = factors.CHI2_MONO):
+    """One distributed Levenberg-Marquardt iteration. Returns updated
+    (poses_R, poses_t, points). Jit-compatible; call under jax.jit."""
+    K = prob.poses_R.shape[0]
+    axis = "ba"
+
+    def step(poses_R, poses_t, fixed, points, kf_idx, pt_idx, uv, inv_s2, valid):
+        # leading device axis is mapped away by shard_map
+        points, kf_idx, pt_idx, uv, inv_s2, valid = (
+            points[0], kf_idx[0], pt_idx[0], uv[0], inv_s2[0], valid[0]
+        )
+        Ml = points.shape[0]
+        r, Jc, Jp, w = _shard_terms(
+            cam_kind, cam_params, poses_R, poses_t, points,
+            kf_idx, pt_idx, uv, inv_s2, valid, robust, chi2_th)
+
+        JcW = Jc * w[:, None, None]
+        Hcc_part = jax.ops.segment_sum(jnp.einsum("eri,erj->eij", JcW, Jc), kf_idx, K)
+        bc_part = jax.ops.segment_sum(jnp.einsum("eri,er->ei", JcW, r), kf_idx, K)
+        JpW = Jp * w[:, None, None]
+        Hpp = jax.ops.segment_sum(jnp.einsum("eri,erj->eij", JpW, Jp), pt_idx, Ml)
+        bp = jax.ops.segment_sum(jnp.einsum("eri,er->ei", JpW, r), pt_idx, Ml)
+        Wcp = jax.ops.segment_sum(
+            jnp.einsum("eri,erj->eij", JcW, Jp), pt_idx * K + kf_idx, Ml * K
+        ).reshape(Ml, K, 6, 3)
+
+        eye3 = jnp.eye(3, dtype=points.dtype)
+        Hpp_d = Hpp + (lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., None] * eye3
+        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        WHinv = jnp.einsum("mkac,mcd->mkad", Wcp, Hpp_inv)
+        S_part = -jnp.einsum("mkad,mled->kale", WHinv, Wcp)
+        rhs_part = -bc_part + jnp.einsum("mkad,md->ka", WHinv, bp)
+
+        # ---- the one collective: reduce the camera system over the mesh ----
+        Hcc = jax.lax.psum(Hcc_part, axis)
+        S_off = jax.lax.psum(S_part, axis)
+        rhs = jax.lax.psum(rhs_part, axis)
+
+        eyeK6 = jnp.eye(6, dtype=points.dtype)
+        Hcc_d = Hcc + (lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., None] * eyeK6
+        S = S_off.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc_d)
+        free = (~fixed).astype(S.dtype)
+        S = S * free[:, None, None, None] * free[None, None, :, None]
+        S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(eyeK6 * fixed[:, None, None])
+        rhs = rhs * free[:, None]
+
+        dc = jnp.linalg.solve(S.reshape(K * 6, K * 6), rhs.reshape(K * 6)).reshape(K, 6)
+        dc = dc * free[:, None]
+
+        # local landmark back-substitution
+        Hpc_dc = jnp.einsum("mkac,ka->mc", Wcp, dc)
+        dp = jnp.einsum("mcd,md->mc", Hpp_inv, -bp - Hpc_dc)
+
+        R_new, t_new = jax.vmap(lie.se3_retract)(poses_R, poses_t, dc)
+        return R_new.astype(poses_R.dtype), t_new.astype(poses_t.dtype), (points + dp)[None]
+
+    f = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P(axis)),
+    )
+    return f(prob.poses_R, prob.poses_t, prob.fixed, prob.points,
+             prob.kf_idx, prob.pt_idx, prob.uv, prob.inv_sigma2, prob.valid)

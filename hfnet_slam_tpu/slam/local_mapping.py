@@ -1,0 +1,408 @@
+"""Local mapping: new-point triangulation, local BA, culling.
+
+TPU-native re-design of the reference LocalMapping thread
+(/root/reference/src/LocalMapping.cc): the per-keyframe pipeline
+ProcessNewKeyFrame -> MapPointCulling -> CreateNewMapPoints ->
+SearchInNeighbors -> LocalBundleAdjustment -> KeyFrameCulling
+(LocalMapping.cc:65-315) runs synchronously on keyframe insertion here
+(round-1; async dispatch overlapping tracking is a later stage), with
+every compute block a fixed-shape jitted kernel:
+
+  * triangulation candidates: epipolar-gated MXU matching
+    (slam/search.py::search_for_triangulation) + batched DLT
+    (geometry/triangulation.py) instead of the reference's per-pair loop
+    (LocalMapping.cc:513-894);
+  * local BA: one Schur-complement LM solve over fixed-capacity padded
+    keyframe/point/edge arrays (optim/ba.py) instead of g2o graph surgery
+    (Optimizer.cc:1116-1498);
+  * culling decisions: vectorized numpy on the MapStore tables
+    (MapPointCulling LocalMapping.cc:406, KeyFrameCulling :1090).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geometry import triangulation
+from ..optim import ba, factors
+from . import search
+from .map import MapStore
+
+
+@dataclasses.dataclass
+class MapperConfig:
+    # triangulation (CreateNewMapPoints, LocalMapping.cc:513-533: nn=30
+    # mono; we keep it configurable — each neighbor is one fixed-shape
+    # kernel call)
+    tri_neighbors: int = 10
+    tri_min_covis: int = 15
+    # mono baseline gate: baseline / median scene depth (LocalMapping.cc:603)
+    min_baseline_depth_ratio: float = 0.01
+    chi2_epi: float = 16.0
+    # per-point parallax floor (cos): 1.15 deg, the reference's mono gate
+    # (LocalMapping.cc cosParallaxRays<0.9998); below this depth noise is
+    # meter-scale and the point poisons tracking
+    tri_min_parallax_cos: float = 0.9998
+    # fuse (SearchInNeighbors; Matcher::Fuse uses th=3px base radius)
+    fuse_radius: float = 3.0
+    fuse_max_dist: float = 0.6
+    # map point culling (LocalMapping.cc:406-460)
+    cull_found_ratio: float = 0.25
+    cull_min_obs: int = 2        # after 2 KFs need >= 3 observations
+    cull_horizon_kfs: int = 3
+    # keyframe culling (LocalMapping.cc:1090: 90% redundancy). Disabled by
+    # default: with single-octave features + fuse the redundancy test is
+    # trivially satisfied and culling deletes the long-baseline anchor KFs
+    # that pin monocular depth (the reference's same-or-finer-scale
+    # condition is what keeps it rare there). Re-enable per-config.
+    kf_cull_redundancy: float = 1.01
+    kf_cull_min_obs: int = 3
+    # protect recent KFs: they anchor triangulation of newly seen landmarks
+    # (the reference's scale-aware redundancy test achieves this implicitly;
+    # with flat-octave features an explicit age gate is needed)
+    kf_cull_min_age: int = 3
+    kf_cull_max_per_round: int = 1
+    # local BA capacities (fixed shapes -> single XLA compile)
+    ba_kf_cap: int = 32
+    ba_mp_cap: int = 4096
+    ba_edge_cap: int = 16384
+    ba_local_kfs: int = 12
+    ba_rounds: tuple = ((5, True), (10, True))
+    # run local BA every Nth keyframe. Round-1 stabilizer: with synchronous
+    # mapping a KF (and hence an LBA) can fire every frame, and per-frame
+    # pose/point re-compromise amplifies monocular depth noise into
+    # tracking collapse; spacing LBAs damps the loop. Goes away once
+    # mapping runs asynchronously like the reference's LocalMapping thread.
+    ba_interval: int = 4
+    # initial (2-KF global) BA — GlobalBundleAdjustemnt(20) at Tracking.cc:1884
+    init_ba_rounds: tuple = ((20, True),)
+
+
+class LocalMapper:
+    def __init__(self, cam, store: MapStore, cfg: MapperConfig = None):
+        self.cam = cam
+        self.store = store
+        self.cfg = cfg or MapperConfig()
+        # (mp_id, n_kf at creation) for MapPointCulling's age window
+        self.recent_points: list[tuple[int, int]] = []
+        self.kf_count = 0
+        self.kf_born: dict[int, int] = {}  # kf slot -> kf_count at creation
+        self.stats = {"triangulated": 0, "culled_points": 0, "culled_kfs": 0, "fused": 0}
+
+    # ------------------------------------------------------------------
+    # public entry points
+    # ------------------------------------------------------------------
+    def initial_ba(self, kf0: int, kf1: int):
+        """Two-keyframe global BA after monocular initialization
+        (Tracking.cc:1884: GlobalBundleAdjustemnt(20 its), first KF fixed)."""
+        self._run_ba([kf0, kf1], fixed_ids=[kf0], rounds=self.cfg.init_ba_rounds)
+
+    def process_keyframe(self, k: int):
+        """The per-keyframe mapping pipeline (LocalMapping::Run body)."""
+        self.kf_count += 1
+        self.kf_born[k] = self.kf_count
+        self.cull_map_points()
+        self.create_new_points(k)
+        self.fuse_neighbors(k)
+        if self.kf_count % max(self.cfg.ba_interval, 1) == 0:
+            self.local_ba(k)
+        self.cull_keyframes(k)
+
+    # ------------------------------------------------------------------
+    # map point culling (LocalMapping.cc:406)
+    # ------------------------------------------------------------------
+    def cull_map_points(self):
+        store = self.store
+        cfg = self.cfg
+        keep: list[tuple[int, int]] = []
+        drop: list[int] = []
+        for mp, born in self.recent_points:
+            if not store.mp_valid[mp]:
+                continue
+            age = self.kf_count - born
+            ratio = store.mp_found[mp] / max(store.mp_visible[mp], 1)
+            if ratio < cfg.cull_found_ratio:
+                drop.append(mp)
+            elif age >= 2 and store.mp_obs_count[mp] <= cfg.cull_min_obs:
+                drop.append(mp)
+            elif age < cfg.cull_horizon_kfs:
+                keep.append((mp, born))
+            # else: survived the probation window — stop tracking it
+        store.remove_points(drop)
+        self.recent_points = keep
+        self.stats["culled_points"] += len(drop)
+
+    # ------------------------------------------------------------------
+    # triangulation (LocalMapping::CreateNewMapPoints, :513)
+    # ------------------------------------------------------------------
+    def create_new_points(self, k: int):
+        store = self.store
+        cfg = self.cfg
+        neighbors = store.covisible_kfs(k, n=cfg.tri_neighbors, min_weight=cfg.tri_min_covis)
+        if len(neighbors) == 0:
+            return
+
+        Rk, tk = store.kf_R[k], store.kf_t[k]
+        xy_k = store.kf_xy[k]
+        xn_k = np.asarray(self.cam.unproject(jnp.asarray(xy_k)))[:, :2]
+        sig2_k = (1.2 ** (2.0 * store.kf_octave[k])).astype(np.float32)
+        free_k = store.kf_mask[k] & (store.kf_obs[k] < 0)
+        f_px = float(self.cam.fx)
+
+        # median depth of k's current points, for the baseline gate
+        seen = store.kf_obs[k]
+        seen = seen[seen >= 0]
+        if len(seen) > 0:
+            depths = (store.mp_pos[seen] @ Rk.T + tk)[:, 2]
+            med_depth = float(np.median(depths))
+        else:
+            med_depth = 1.0
+
+        n_new = 0
+        for j in neighbors:
+            Rj, tj = store.kf_R[j], store.kf_t[j]
+            # baseline between camera centers
+            ck = -Rk.T @ tk
+            cj = -Rj.T @ tj
+            baseline = float(np.linalg.norm(ck - cj))
+            if baseline < cfg.min_baseline_depth_ratio * med_depth:
+                continue  # too-short baseline (LocalMapping.cc:603)
+
+            # relative pose cam-k -> cam-j: x_j = R21 x_k + t21
+            R21 = Rj @ Rk.T
+            t21 = tj - R21 @ tk
+
+            free_j = store.kf_mask[j] & (store.kf_obs[j] < 0)
+            xn_j = np.asarray(self.cam.unproject(jnp.asarray(store.kf_xy[j])))[:, :2]
+            sig2_j = (1.2 ** (2.0 * store.kf_octave[j])).astype(np.float32)
+
+            idx, _ = search.search_for_triangulation(
+                jnp.asarray(xn_k), jnp.asarray(store.kf_desc[k]),
+                jnp.asarray(sig2_k), jnp.asarray(free_k),
+                jnp.asarray(xn_j), jnp.asarray(store.kf_desc[j]),
+                jnp.asarray(sig2_j), jnp.asarray(free_j),
+                jnp.asarray(R21), jnp.asarray(t21), f_px,
+                chi2_epi=cfg.chi2_epi,
+            )
+            idx = np.asarray(idx)
+            s_k = np.nonzero(idx >= 0)[0]
+            if len(s_k) == 0:
+                continue
+            s_j = idx[s_k]
+
+            p1 = np.asarray(
+                triangulation.triangulate_dlt(
+                    jnp.asarray(xn_k[s_k]), jnp.asarray(xn_j[s_j]),
+                    jnp.asarray(R21), jnp.asarray(t21),
+                )
+            )
+            # reprojection gate in normalized units: chi2 * sigma2 / f^2
+            th2 = factors.CHI2_MONO * np.maximum(sig2_k[s_k], sig2_j[s_j]) / (f_px * f_px)
+            good, _ = triangulation.cheirality_and_error(
+                jnp.asarray(p1), jnp.asarray(xn_k[s_k]), jnp.asarray(xn_j[s_j]),
+                jnp.asarray(R21), jnp.asarray(t21), jnp.asarray(th2),
+                min_parallax_cos=cfg.tri_min_parallax_cos,
+            )
+            good = np.asarray(good)
+            if not good.any():
+                continue
+            s_k, s_j, p1 = s_k[good], s_j[good], p1[good]
+
+            # world positions and mean descriptors
+            p_w = (p1 - tk[None, :]) @ Rk  # Rk.T @ (p1 - tk), batched
+            d = store.kf_desc[k][s_k] + store.kf_desc[j][s_j]
+            d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+
+            try:
+                ids = store.add_points(p_w, d, first_kf=k)
+            except RuntimeError:
+                break  # capacity full; culling will free slots later
+            store.assign_observations(k, s_k, ids)
+            store.assign_observations(j, s_j, ids)
+            self.recent_points.extend((int(i), self.kf_count) for i in ids)
+            free_k[s_k] = False
+            n_new += len(ids)
+        if n_new:
+            store.update_covisibility(k)
+        self.stats["triangulated"] += n_new
+
+    # ------------------------------------------------------------------
+    # fuse (LocalMapping::SearchInNeighbors, :895: two-way Matcher::Fuse)
+    # ------------------------------------------------------------------
+    def fuse_neighbors(self, k: int):
+        """Project each neighbor's map points into KF k (and k's into the
+        neighbors) and claim unmatched keypoints as extra observations.
+        This is how fresh 2-observation points rapidly gain observations —
+        without it their depths stay poorly constrained and local BA slides
+        them along their rays."""
+        store = self.store
+        cfg = self.cfg
+        neighbors = store.covisible_kfs(k, n=cfg.tri_neighbors, min_weight=cfg.tri_min_covis)
+        if len(neighbors) == 0:
+            return
+        pairs = [(k, int(j)) for j in neighbors] + [(int(j), k) for j in neighbors]
+        for tgt, src in pairs:
+            src_obs = store.kf_obs[src]
+            mp_ids = np.unique(src_obs[src_obs >= 0])
+            mp_ids = mp_ids[store.mp_valid[mp_ids]]
+            # only points the target does not already observe
+            mp_ids = np.setdiff1d(mp_ids, store.kf_obs[tgt], assume_unique=False)
+            if len(mp_ids) == 0:
+                continue
+            cap = cfg.ba_mp_cap
+            mp_ids = mp_ids[:cap]
+            pos = np.zeros((cap, 3), np.float32)
+            desc = np.zeros((cap, store.desc_dim), np.float32)
+            valid = np.zeros(cap, bool)
+            pos[: len(mp_ids)] = store.mp_pos[mp_ids]
+            desc[: len(mp_ids)] = store.mp_desc[mp_ids]
+            valid[: len(mp_ids)] = True
+            free_t = store.kf_mask[tgt] & (store.kf_obs[tgt] < 0)
+            idx, _, _ = search.search_by_projection(
+                self.cam.kind, self.cam.params, (self.cam.width, self.cam.height),
+                jnp.asarray(store.kf_R[tgt]), jnp.asarray(store.kf_t[tgt]),
+                jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
+                jnp.asarray(store.kf_xy[tgt]), jnp.asarray(store.kf_desc[tgt]),
+                jnp.asarray(store.kf_octave[tgt]), jnp.asarray(free_t),
+                radius=cfg.fuse_radius, max_dist=cfg.fuse_max_dist,
+            )
+            idx = np.asarray(idx)
+            slots = np.nonzero(idx >= 0)[0]
+            if len(slots):
+                store.assign_observations(tgt, slots, mp_ids[idx[slots]])
+                self.stats["fused"] += len(slots)
+        store.update_covisibility(k)
+
+    # ------------------------------------------------------------------
+    # local BA (Optimizer::LocalBundleAdjustment, Optimizer.cc:1116)
+    # ------------------------------------------------------------------
+    def local_ba(self, k: int):
+        store = self.store
+        cfg = self.cfg
+        local = store.covisible_kfs(k, n=cfg.ba_local_kfs, min_weight=1)
+        local = np.unique(np.append(local, k))
+        mp_ids = store.points_seen_by(local)
+        if len(mp_ids) == 0:
+            return
+        # observers of local points that are not local are fixed anchors
+        kf_e, _, _ = store.observing_slots(mp_ids)
+        all_kfs = np.unique(kf_e)
+        fixed = np.setdiff1d(all_kfs, local)
+        # gauge: the reference fixes the map's init KF (Optimizer.cc:1219)
+        # plus all external observer KFs. With fewer than TWO fixed cameras a
+        # monocular problem has a free scale gauge and the map scale drifts
+        # on every solve — pin at least the two oldest involved KFs.
+        fixed_ids = set(int(i) for i in fixed) | {int(all_kfs.min())}
+        for cand in sorted(int(i) for i in all_kfs):
+            if len(fixed_ids) >= 2:
+                break
+            fixed_ids.add(cand)
+        self._run_ba(list(all_kfs), fixed_ids=fixed_ids, rounds=cfg.ba_rounds,
+                     mp_ids=mp_ids)
+
+    def _run_ba(self, kf_ids, fixed_ids, rounds, mp_ids=None):
+        """Build a fixed-capacity BAProblem from the store, solve, write back,
+        and detach outlier observations."""
+        store = self.store
+        cfg = self.cfg
+        kf_ids = np.asarray(sorted(int(i) for i in kf_ids), int)[: cfg.ba_kf_cap]
+        if mp_ids is None:
+            mp_ids = store.points_seen_by(kf_ids)
+        kf_in = np.isin(np.arange(store.k_max), kf_ids)
+
+        kf_e, slot_e, mp_e = store.observing_slots(mp_ids)
+        keep = kf_in[kf_e]
+        kf_e, slot_e, mp_e = kf_e[keep], slot_e[keep], mp_e[keep]
+        if len(kf_e) == 0:
+            return
+        # drop points whose every observation fell outside the KF set cap
+        mp_ids = np.intersect1d(mp_ids, np.unique(mp_e))[: cfg.ba_mp_cap]
+        mp_keep = np.isin(mp_e, mp_ids)
+        kf_e, slot_e, mp_e = kf_e[mp_keep], slot_e[mp_keep], mp_e[mp_keep]
+        kf_e, slot_e, mp_e = kf_e[: cfg.ba_edge_cap], slot_e[: cfg.ba_edge_cap], mp_e[: cfg.ba_edge_cap]
+
+        # global -> local index maps
+        kf_loc = np.zeros(store.k_max, np.int32)
+        kf_loc[kf_ids] = np.arange(len(kf_ids))
+        mp_loc = np.zeros(store.m_max, np.int32)
+        mp_loc[mp_ids] = np.arange(len(mp_ids))
+
+        K, M, E = cfg.ba_kf_cap, cfg.ba_mp_cap, cfg.ba_edge_cap
+        poses_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        poses_t = np.zeros((K, 3), np.float32)
+        poses_R[: len(kf_ids)] = store.kf_R[kf_ids]
+        poses_t[: len(kf_ids)] = store.kf_t[kf_ids]
+        fixed = np.ones(K, bool)
+        fixed[: len(kf_ids)] = [int(i) in fixed_ids for i in kf_ids]
+
+        points = np.zeros((M, 3), np.float32)
+        points[: len(mp_ids)] = store.mp_pos[mp_ids]
+
+        kf_idx = np.zeros(E, np.int32)
+        pt_idx = np.zeros(E, np.int32)
+        uv = np.zeros((E, 2), np.float32)
+        inv_s2 = np.ones(E, np.float32)
+        valid = np.zeros(E, bool)
+        n_e = len(kf_e)
+        kf_idx[:n_e] = kf_loc[kf_e]
+        pt_idx[:n_e] = mp_loc[mp_e]
+        uv[:n_e] = store.kf_xy[kf_e, slot_e]
+        inv_s2[:n_e] = 1.0 / (1.2 ** (2.0 * store.kf_octave[kf_e, slot_e]))
+        valid[:n_e] = True
+
+        prob = ba.BAProblem(
+            poses_R=jnp.asarray(poses_R), poses_t=jnp.asarray(poses_t),
+            fixed=jnp.asarray(fixed), points=jnp.asarray(points),
+            kf_idx=jnp.asarray(kf_idx), pt_idx=jnp.asarray(pt_idx),
+            uv=jnp.asarray(uv), inv_sigma2=jnp.asarray(inv_s2),
+            valid=jnp.asarray(valid),
+        )
+        out = ba.bundle_adjust(self.cam.kind, self.cam.params, prob, rounds=rounds)
+
+        # ---- write back ------------------------------------------------
+        R_new = np.asarray(out.poses_R)[: len(kf_ids)]
+        t_new = np.asarray(out.poses_t)[: len(kf_ids)]
+        free = ~fixed[: len(kf_ids)]
+        store.kf_R[kf_ids[free]] = R_new[free]
+        store.kf_t[kf_ids[free]] = t_new[free]
+        store.mp_pos[mp_ids] = np.asarray(out.points)[: len(mp_ids)]
+
+        # detach observations classified as outliers (the reference's final
+        # erase loop, Optimizer.cc:1436-1464)
+        out_valid = np.asarray(out.valid)[:n_e]
+        bad = ~out_valid
+        if bad.any():
+            for kf, slot in zip(kf_e[bad], slot_e[bad]):
+                store.set_observation(int(kf), int(slot), -1)
+            # points left with <2 observations are dead
+            orphans = mp_ids[store.mp_obs_count[mp_ids] < 2]
+            store.remove_points(orphans)
+
+    # ------------------------------------------------------------------
+    # keyframe culling (LocalMapping::KeyFrameCulling, :1090)
+    # ------------------------------------------------------------------
+    def cull_keyframes(self, k: int):
+        """Remove local covisible KFs whose map points are >=90% observed by
+        at least 3 other keyframes."""
+        store = self.store
+        cfg = self.cfg
+        n_culled = 0
+        for j in store.covisible_kfs(k, n=cfg.ba_local_kfs, min_weight=1):
+            j = int(j)
+            if j == k or j <= 1:  # never cull the init pair
+                continue
+            if self.kf_count - self.kf_born.get(j, 0) < cfg.kf_cull_min_age:
+                continue  # recent KFs anchor new-landmark triangulation
+            obs = store.kf_obs[j]
+            mp = obs[obs >= 0]
+            if len(mp) == 0:
+                continue
+            redundant = store.mp_obs_count[mp] > cfg.kf_cull_min_obs
+            if redundant.mean() > cfg.kf_cull_redundancy:
+                store.remove_keyframe(j)
+                self.stats["culled_kfs"] += 1
+                n_culled += 1
+                if n_culled >= cfg.kf_cull_max_per_round:
+                    break

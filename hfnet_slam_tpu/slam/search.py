@@ -1,0 +1,136 @@
+"""SLAM-level data-association searches.
+
+Thin, jit-compiled wrappers that combine geometric gating (projection
+windows, epipolar constraint) with the MXU descriptor matcher —
+the TPU equivalents of the reference Matcher's variants
+(src/Matcher.cc): SearchByProjection, SearchByBoW (mutual brute force),
+SearchForInitialization, SearchForTriangulation.
+
+All functions take fixed-capacity padded arrays + masks.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import cameras
+from ..ops import matching as M
+
+
+@partial(jax.jit, static_argnames=("cam_kind", "max_dist", "ratio"))
+def search_by_projection(
+    cam_kind,
+    cam_params,
+    img_wh,
+    R,
+    t,
+    mp_pos,
+    mp_desc,
+    mp_valid,
+    feat_xy,
+    feat_desc,
+    feat_octave,
+    feat_mask,
+    radius: float,
+    max_dist: float = M.TH_HIGH,
+    ratio: float = 1.0,
+):
+    """Match frame features against projected map points
+    (Matcher::SearchByProjection, src/Matcher.cc:40-210).
+
+    The per-keypoint search window scales with the keypoint's pyramid level
+    (radius * 1.2^octave), mirroring the reference's th*scaleFactor window.
+
+    Returns:
+      idx: (N_feat,) int32 index into the mp arrays or -1.
+      proj_uv: (N_mp,2) projected pixels (for diagnostics).
+    """
+    pc = mp_pos @ R.T + t
+    depth_ok = pc[:, 2] > 0.1
+    uv = cameras.project(cam_kind, cam_params, pc)
+    W, H = img_wh
+    in_img = (uv[:, 0] >= 0) & (uv[:, 0] < W) & (uv[:, 1] >= 0) & (uv[:, 1] < H)
+    mp_ok = mp_valid & depth_ok & in_img
+
+    radii = radius * (1.2 ** feat_octave.astype(jnp.float32))
+    allowed = M.radius_allowed(feat_xy, uv, radii)
+    idx, dist = M.match_descriptors(
+        feat_desc, feat_mask, mp_desc, mp_ok,
+        max_dist=max_dist, ratio=ratio, mutual=True, allowed=allowed,
+    )
+    return idx, uv, mp_ok
+
+
+@partial(jax.jit, static_argnames=("max_dist", "ratio"))
+def search_brute_force(descA, maskA, descB, maskB, max_dist: float = M.TH_LOW, ratio: float = 1.0):
+    """Mutual brute-force matching (the reference's SearchByBoW —
+    cv::BFMatcher(NORM_L2, crossCheck), src/Matcher.cc:220-263)."""
+    return M.match_descriptors(descA, maskA, descB, maskB, max_dist=max_dist, ratio=ratio, mutual=True)
+
+
+@partial(jax.jit, static_argnames=("max_dist", "ratio"))
+def search_for_initialization(
+    xyA, descA, maskA, xyB, descB, maskB,
+    window: float = 100.0, max_dist: float = M.TH_LOW, ratio: float = 0.9,
+):
+    """Windowed search between the two init frames
+    (Matcher::SearchForInitialization, src/Matcher.cc:486)."""
+    allowed = M.window_allowed(xyA, xyB, window)
+    return M.match_descriptors(
+        descA, maskA, descB, maskB, max_dist=max_dist, ratio=ratio, mutual=True, allowed=allowed
+    )
+
+
+@partial(jax.jit, static_argnames=("max_dist",))
+def search_for_triangulation(
+    xn1, desc1, sigma2_1, mask1,
+    xn2, desc2, sigma2_2, mask2,
+    R21, t21,
+    f_px: float,
+    max_dist: float = M.TH_LOW,
+    chi2_epi: float = 3.84,
+):
+    """Epipolar-gated mutual matching between two keyframes for new-point
+    triangulation (Matcher::SearchForTriangulation, src/Matcher.cc:763-936:
+    GEMM similarity + cross-check + epipole-distance and epipolar gates).
+
+    Inputs are *normalized* coordinates (unprojected bearings, z=1) so the
+    gate is camera-model agnostic; f_px converts the pixel sigma to
+    normalized units.
+
+    R21/t21: relative pose cam1 -> cam2 (x2 = R21 x1 + t21).
+    """
+    # essential matrix for (xn2^T E xn1 = 0)
+    tx = jnp.array(
+        [
+            [0.0, -t21[2], t21[1]],
+            [t21[2], 0.0, -t21[0]],
+            [-t21[1], t21[0], 0.0],
+        ]
+    )
+    E = tx @ R21
+
+    h1 = jnp.concatenate([xn1, jnp.ones_like(xn1[:, :1])], axis=1)  # (N1,3)
+    h2 = jnp.concatenate([xn2, jnp.ones_like(xn2[:, :1])], axis=1)
+    l2 = h1 @ E.T  # epiline of each x1 in image 2: (N1,3)
+    # squared point-line distance of each x2 to each l2: (N1,N2)
+    num = (l2 @ h2.T) ** 2
+    den = jnp.maximum(l2[:, 0:1] ** 2 + l2[:, 1:2] ** 2, 1e-12)
+    d2 = num / den  # normalized units^2
+    sigma_n2 = sigma2_2[None, :] / (f_px * f_px)
+    epi_ok = d2 < chi2_epi * sigma_n2
+
+    # epipole-distance gate: x2 not too close to the epipole (Matcher.cc:894).
+    # Epipole in image-2 normalized coords = projection of camera-1's center,
+    # which in cam-2 coordinates is t21 (x2 = R21 x1 + t21 with x1 = 0).
+    epi = t21[:2] / jnp.where(jnp.abs(t21[2]) < 1e-9, 1e-9, t21[2])
+    d_ep2 = jnp.sum((xn2 - epi[None, :]) ** 2, axis=1) * (f_px * f_px)
+    far_from_epipole = d_ep2 > 100.0 * sigma2_2  # (10 px)^2 scaled by level
+
+    allowed = epi_ok & far_from_epipole[None, :]
+    idx, dist = M.match_descriptors(
+        desc1, mask1, desc2, mask2, max_dist=max_dist, mutual=True, allowed=allowed
+    )
+    return idx, dist

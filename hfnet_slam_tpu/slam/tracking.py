@@ -1,0 +1,425 @@
+"""Per-frame tracking: the SLAM front-end state machine.
+
+TPU-native re-design of the reference Tracking thread
+(/root/reference/src/Tracking.cc): the irregular state machine stays in
+host Python, while every per-frame compute block — projection matching,
+brute-force matching, pose optimization — is a fixed-shape jitted kernel
+(slam/search.py, optim/pose_opt.py).
+
+States (Tracking.h:117-125): NOT_INITIALIZED -> OK -> (RECENTLY_)LOST.
+Steps mirrored from Tracking::Track (Tracking.cc:1097-1636):
+  MonocularInitialization (:1752) -> two-view RANSAC + init BA + median
+    depth normalization (:1830-1915)
+  TrackWithMotionModel (:2165): constant-velocity prediction, window 15
+    (retry x2), >=20 matches in, pose opt, >=10 inliers out
+  TrackReferenceKeyFrame (:2024): brute-force vs ref KF, >=15 matches,
+    >=10 inliers
+  TrackLocalMap (:2271): covisibility expansion, guided projection,
+    pose opt, >=30 inliers (mono)
+  NeedNewKeyFrame (:2390) / CreateNewKeyFrame (:2546)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import lie
+from ..geometry import cameras
+from ..optim import pose_opt
+from . import search
+from .map import MapStore
+
+NOT_INITIALIZED = 0
+OK = 1
+LOST = 2
+
+_STATE_NAMES = {0: "NOT_INITIALIZED", 1: "OK", 2: "LOST"}
+
+
+@dataclasses.dataclass
+class TrackerConfig:
+    # matching
+    motion_window: float = 15.0
+    motion_window_retry: float = 30.0
+    local_window: float = 4.0
+    init_window: float = 100.0
+    th_high: float = 0.75
+    th_low: float = 0.6
+    # acceptance gates (Tracking.cc)
+    min_init_matches: int = 100
+    min_motion_matches: int = 20
+    min_ref_matches: int = 15
+    min_pose_inliers: int = 10
+    min_local_inliers: int = 30
+    # keyframe policy
+    max_frames_between_kf: int = 10
+    min_frames_between_kf: int = 0
+    kf_ref_ratio: float = 0.9
+    # capacities
+    local_mp_cap: int = 4096
+    # init quality
+    min_init_points: int = 60
+    # median parallax of the reconstructed points must clear this, or init
+    # waits for more baseline (a garbage low-parallax map poisons tracking)
+    min_init_med_parallax_deg: float = 1.5
+
+
+@dataclasses.dataclass
+class Frame:
+    feats: object  # models.extractor.Features
+    timestamp: float
+    R: Optional[np.ndarray] = None  # world->cam
+    t: Optional[np.ndarray] = None
+    obs: Optional[np.ndarray] = None  # (N_slots,) mp id or -1
+
+    @property
+    def n_feats(self):
+        return int(np.asarray(self.feats.mask).sum())
+
+
+class Tracker:
+    def __init__(self, cam: cameras.Camera, store: MapStore, cfg: TrackerConfig = None,
+                 mapper=None, rng_seed: int = 0):
+        self.cam = cam
+        self.store = store
+        self.cfg = cfg or TrackerConfig()
+        self.mapper = mapper  # local_mapping.LocalMapper, set by System
+        self.state = NOT_INITIALIZED
+        self.last_frame: Optional[Frame] = None
+        self.init_ref: Optional[Frame] = None
+        self.velocity = None  # (R_v, t_v): T_cur = T_v o T_last
+        self.ref_kf = -1
+        self.frames_since_kf = 0
+        self.frame_id = 0
+        self.n_inliers = 0
+        self._key = jnp.asarray(np.random.default_rng(rng_seed).integers(0, 2**31, 2), jnp.uint32)
+        self.trajectory = []  # (timestamp, R, t) per tracked frame
+
+    # ------------------------------------------------------------------
+    def track(self, feats, timestamp):
+        """Main entry (GrabImageMonocular + Track analogue).
+        Returns (state, R, t)."""
+        frame = Frame(feats=feats, timestamp=timestamp)
+        if self.state == NOT_INITIALIZED:
+            self._monocular_initialization(frame)
+        elif self.state == OK:
+            ok = self._track_frame(frame)
+            if ok:
+                self._track_local_map(frame)
+            else:
+                # a failed attempt may have written a garbage pose; a frame
+                # is only tracked if the full gate chain passed
+                frame.R = None
+                frame.t = None
+            if frame.R is None:
+                self.state = LOST
+            else:
+                if self._need_new_keyframe(frame):
+                    self._create_keyframe(frame)
+                self.last_frame = frame
+        # LOST: round-1 slice stops tracking (multi-map recovery is a later
+        # stage; reference would CreateMapInAtlas / Relocalization here)
+        if frame.R is not None:
+            self.trajectory.append((timestamp, frame.R.copy(), frame.t.copy()))
+        self.frame_id += 1
+        return self.state, frame.R, frame.t
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+    def _monocular_initialization(self, frame: Frame):
+        from ..geometry import twoview
+
+        cfg = self.cfg
+        if self.init_ref is None or self.init_ref.n_feats < cfg.min_init_matches:
+            self.init_ref = frame
+            return
+
+        ref = self.init_ref
+        idx, _ = search.search_for_initialization(
+            ref.feats.xy, ref.feats.desc, ref.feats.mask,
+            frame.feats.xy, frame.feats.desc, frame.feats.mask,
+            window=cfg.init_window,
+        )
+        idx = np.asarray(idx)
+        n_matches = int((idx >= 0).sum())
+        if n_matches < cfg.min_init_matches:
+            self.init_ref = frame
+            return
+
+        # build padded match arrays in normalized coords
+        slots1 = np.nonzero(idx >= 0)[0]
+        slots2 = idx[slots1]
+        xn1 = np.asarray(self.cam.unproject(ref.feats.xy))[:, :2]
+        xn2 = np.asarray(self.cam.unproject(frame.feats.xy))[:, :2]
+        N = len(idx)
+        m1 = np.zeros((N, 2), np.float32)
+        m2 = np.zeros((N, 2), np.float32)
+        m1[: len(slots1)] = xn1[slots1]
+        m2[: len(slots1)] = xn2[slots2]
+        mask = np.arange(N) < len(slots1)
+
+        res = twoview.reconstruct_two_views(
+            jnp.asarray(m1), jnp.asarray(m2), jnp.asarray(mask),
+            self._key, 1.0 / float(self.cam.fx),
+        )
+        if (
+            not bool(res["ok"])
+            or int(res["n_good"]) < cfg.min_init_points
+            or float(res["med_parallax_deg"]) < cfg.min_init_med_parallax_deg
+        ):
+            return
+
+        good = np.asarray(res["good"])
+        R21 = np.asarray(res["R21"])
+        t21 = np.asarray(res["t21"])
+        p3d = np.asarray(res["points"])  # in ref-camera (= world) frame
+
+        self._create_initial_map(ref, frame, slots1, slots2, good, R21, t21, p3d)
+
+    def _create_initial_map(self, ref, frame, slots1, slots2, good, R21, t21, p3d):
+        """CreateInitialMapMonocular (Tracking.cc:1830): two KFs, points,
+        init BA, median-depth scale normalization."""
+        store = self.store
+        g = np.nonzero(good[: len(slots1)])[0]
+        pts = p3d[g]
+        s1 = slots1[g]
+        s2 = slots2[g]
+
+        # descriptors: mean of both observations, renormalized
+        d1 = np.asarray(ref.feats.desc)[s1]
+        d2 = np.asarray(frame.feats.desc)[s2]
+        d = d1 + d2
+        d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+
+        kf0 = store.add_keyframe(np.eye(3), np.zeros(3), ref.feats, ref.timestamp)
+        kf1 = store.add_keyframe(R21, t21, frame.feats, frame.timestamp)
+        ids = store.add_points(pts, d, first_kf=kf0)
+        store.assign_observations(kf0, s1, ids)
+        store.assign_observations(kf1, s2, ids)
+        store.update_covisibility(kf1)
+
+        # init global BA (20 its) + median depth normalization (:1884-1915)
+        if self.mapper is not None:
+            self.mapper.initial_ba(kf0, kf1)
+        depths = (store.mp_pos[ids] @ store.kf_R[kf0].T + store.kf_t[kf0])[:, 2]
+        med = float(np.median(depths))
+        if med <= 0:
+            # degenerate init; roll back
+            store.remove_points(ids)
+            store.remove_keyframe(kf0)
+            store.remove_keyframe(kf1)
+            return
+        store.kf_t[kf1] /= med
+        store.mp_pos[ids] /= med
+
+        frame.R = store.kf_R[kf1].copy()
+        frame.t = store.kf_t[kf1].copy()
+        obs = np.full(len(np.asarray(frame.feats.mask)), -1, np.int32)
+        obs[s2] = ids
+        frame.obs = obs
+        self.ref_kf = kf1
+        self.last_frame = frame
+        self.velocity = None
+        self.frames_since_kf = 0
+        self.state = OK
+
+    # ------------------------------------------------------------------
+    # per-frame tracking
+    # ------------------------------------------------------------------
+    def _predicted_pose(self):
+        R_l, t_l = self.last_frame.R, self.last_frame.t
+        if self.velocity is None:
+            return R_l.copy(), t_l.copy()
+        R_v, t_v = self.velocity
+        R = R_v @ R_l
+        t = R_v @ t_l + t_v
+        return R, t
+
+    def _pose_optimize_frame(self, frame, R0, t0):
+        """Pose-only optimization over frame.obs. Returns inlier count."""
+        store = self.store
+        obs = frame.obs
+        valid = (obs >= 0) & np.asarray(frame.feats.mask)
+        pts = store.mp_pos[np.clip(obs, 0, store.m_max - 1)]
+        inv_sigma2 = 1.0 / (1.2 ** (2.0 * np.asarray(frame.feats.octave)))
+        res = pose_opt.pose_optimize(
+            self.cam.kind, self.cam.params,
+            jnp.asarray(R0), jnp.asarray(t0),
+            jnp.asarray(pts), frame.feats.xy,
+            jnp.asarray(inv_sigma2), jnp.asarray(valid),
+        )
+        frame.R = np.asarray(res["R"])
+        frame.t = np.asarray(res["t"])
+        inlier = np.asarray(res["inlier"])
+        frame.obs = np.where(inlier, obs, -1).astype(np.int32)
+        return int(inlier.sum())
+
+    def _track_frame(self, frame) -> bool:
+        ok = self._track_with_motion_model(frame)
+        if not ok:
+            ok = self._track_reference_keyframe(frame)
+        return ok
+
+    def _track_with_motion_model(self, frame) -> bool:
+        cfg = self.cfg
+        store = self.store
+        R0, t0 = self._predicted_pose()
+
+        last_obs = self.last_frame.obs
+        sel = last_obs >= 0
+        mp_ids = np.unique(last_obs[sel])
+        mp_ids = mp_ids[store.mp_valid[mp_ids]]
+        if len(mp_ids) < 3:
+            return False
+        cap = self.cfg.local_mp_cap
+        mp_pos, mp_desc, mp_valid, mp_ids_p = self._pad_mps(mp_ids, cap)
+
+        for radius in (cfg.motion_window, cfg.motion_window_retry):
+            idx, _, _ = search.search_by_projection(
+                self.cam.kind, self.cam.params, (self.cam.width, self.cam.height),
+                jnp.asarray(R0), jnp.asarray(t0),
+                mp_pos, mp_desc, mp_valid,
+                frame.feats.xy, frame.feats.desc, frame.feats.octave, frame.feats.mask,
+                radius=radius, max_dist=cfg.th_high,
+            )
+            idx = np.asarray(idx)
+            n = int((idx >= 0).sum())
+            if n >= cfg.min_motion_matches:
+                break
+        if n < cfg.min_motion_matches:
+            return False
+
+        frame.obs = np.where(idx >= 0, mp_ids_p[np.clip(idx, 0, cap - 1)], -1).astype(np.int32)
+        n_in = self._pose_optimize_frame(frame, R0, t0)
+        self.n_inliers = n_in
+        return n_in >= cfg.min_pose_inliers
+
+    def _track_reference_keyframe(self, frame) -> bool:
+        cfg = self.cfg
+        store = self.store
+        k = self.ref_kf
+        if k < 0 or not store.kf_valid[k]:
+            return False
+        kf_obs = store.kf_obs[k]
+        maskB = (kf_obs >= 0) & store.kf_mask[k]
+        idx, _ = search.search_brute_force(
+            frame.feats.desc, frame.feats.mask,
+            jnp.asarray(store.kf_desc[k]), jnp.asarray(maskB),
+            max_dist=cfg.th_low, ratio=0.9,
+        )
+        idx = np.asarray(idx)
+        n = int((idx >= 0).sum())
+        if n < cfg.min_ref_matches:
+            return False
+        frame.obs = np.where(idx >= 0, kf_obs[np.clip(idx, 0, len(kf_obs) - 1)], -1).astype(np.int32)
+        R0, t0 = self.last_frame.R, self.last_frame.t
+        n_in = self._pose_optimize_frame(frame, R0, t0)
+        self.n_inliers = n_in
+        return n_in >= cfg.min_pose_inliers
+
+    def _pad_mps(self, mp_ids, cap):
+        store = self.store
+        mp_ids = mp_ids[:cap]
+        n = len(mp_ids)
+        pos = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, store.desc_dim), np.float32)
+        valid = np.zeros(cap, bool)
+        pos[:n] = store.mp_pos[mp_ids]
+        desc[:n] = store.mp_desc[mp_ids]
+        valid[:n] = True
+        ids_p = np.full(cap, -1, np.int32)
+        ids_p[:n] = mp_ids
+        return jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid), ids_p
+
+    def _track_local_map(self, frame):
+        """UpdateLocalMap + SearchLocalPoints + final pose opt
+        (Tracking.cc:2271-2388)."""
+        cfg = self.cfg
+        store = self.store
+
+        # local keyframes: those observing current matches, plus covisibles
+        matched = frame.obs[frame.obs >= 0]
+        if len(matched) == 0:
+            return
+        kf_ids, _, mp_ids_obs = store.observing_slots(np.unique(matched))
+        if len(kf_ids) == 0:
+            return
+        counts = np.bincount(kf_ids, minlength=store.k_max)
+        local_kfs = np.nonzero(counts)[0]
+        # ref kf = most shared observations (Tracking.cc:2962)
+        self.ref_kf = int(local_kfs[np.argmax(counts[local_kfs])])
+        extra = []
+        for k in local_kfs[np.argsort(-counts[local_kfs])][:10]:
+            extra.extend(store.covisible_kfs(k, n=10, min_weight=15))
+        local_kfs = np.unique(np.concatenate([local_kfs, np.asarray(extra, int)])) if extra else local_kfs
+
+        local_mps = store.points_seen_by(local_kfs)
+        # exclude already-matched
+        local_mps = local_mps[~np.isin(local_mps, matched)]
+        if len(local_mps) > 0:
+            cap = cfg.local_mp_cap
+            mp_pos, mp_desc, mp_valid, ids_p = self._pad_mps(local_mps, cap)
+            idx, _, proj_ok = search.search_by_projection(
+                self.cam.kind, self.cam.params, (self.cam.width, self.cam.height),
+                jnp.asarray(frame.R), jnp.asarray(frame.t),
+                mp_pos, mp_desc, mp_valid,
+                frame.feats.xy, frame.feats.desc, frame.feats.octave, frame.feats.mask,
+                radius=cfg.local_window, max_dist=cfg.th_high, ratio=1.0,
+            )
+            idx = np.asarray(idx)
+            # visibility statistics (visible = projected in frustum)
+            vis_ids = ids_p[np.asarray(proj_ok)[: len(ids_p)] & (ids_p >= 0)]
+            store.mp_visible[vis_ids] += 1
+            new = (idx >= 0) & (frame.obs < 0)
+            frame.obs = np.where(new, ids_p[np.clip(idx, 0, cap - 1)], frame.obs).astype(np.int32)
+
+        n_in = self._pose_optimize_frame(frame, frame.R, frame.t)
+        self.n_inliers = n_in
+        found = frame.obs[frame.obs >= 0]
+        store.mp_found[found] += 1
+        store.mp_visible[np.unique(matched)] += 1
+
+        if n_in < cfg.min_local_inliers:
+            # keep the pose but flag low quality; reference transitions to
+            # RECENTLY_LOST via a similar gate
+            if n_in < cfg.min_pose_inliers:
+                frame.R = None
+                frame.t = None
+                return
+        # motion model update
+        R_l, t_l = self.last_frame.R, self.last_frame.t
+        Rl_inv, tl_inv = lie.se3_inverse(jnp.asarray(R_l), jnp.asarray(t_l))
+        R_v, t_v = lie.se3_mul(jnp.asarray(frame.R), jnp.asarray(frame.t), Rl_inv, tl_inv)
+        self.velocity = (np.asarray(R_v), np.asarray(t_v))
+
+    # ------------------------------------------------------------------
+    # keyframe policy
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, frame) -> bool:
+        cfg = self.cfg
+        store = self.store
+        self.frames_since_kf += 1
+        if self.ref_kf < 0:
+            return False
+        n_ref = int((store.kf_obs[self.ref_kf] >= 0).sum())
+        c1a = self.frames_since_kf >= cfg.max_frames_between_kf
+        c2 = (self.n_inliers < cfg.kf_ref_ratio * n_ref) and (self.n_inliers > 15)
+        need = (c1a and self.n_inliers > 15) or (
+            c2 and self.frames_since_kf > cfg.min_frames_between_kf
+        )
+        return bool(need)
+
+    def _create_keyframe(self, frame):
+        store = self.store
+        k = store.add_keyframe(frame.R, frame.t, frame.feats, frame.timestamp, obs=frame.obs)
+        self.ref_kf = k
+        self.frames_since_kf = 0
+        if self.mapper is not None:
+            self.mapper.process_keyframe(k)
+            # tracking continues from the (possibly) BA-refined pose
+            frame.R = store.kf_R[k].copy()
+            frame.t = store.kf_t[k].copy()
