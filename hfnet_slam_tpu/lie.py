@@ -74,15 +74,19 @@ def so3_log(R):
     # canonical sign: w >= 0 so the angle is in [0, pi]
     q = q * jnp.where(q[..., 0:1] < 0, -1.0, 1.0)
     w, v = q[..., 0], q[..., 1:]
-    nv = jnp.linalg.norm(v, axis=-1)
-    small = nv < 1e-6
-    nv_safe = jnp.where(small, 1.0, nv)
+    # differentiation safety: norm(v) has a NaN tangent at v=0, and that NaN
+    # leaks through BOTH branches of a jnp.where under jvp/jacfwd (the pose
+    # graph optimizer differentiates log at near-identity residuals). Guard
+    # the sqrt input itself and keep the small branch norm-free (nv2 only).
+    nv2 = jnp.sum(v * v, axis=-1)
+    small = nv2 < 1e-12
+    nv_safe = jnp.sqrt(jnp.where(small, 1.0, nv2))
     w_safe = jnp.maximum(w, _EPS)
     # generic: 2*atan2(nv, w)/nv ; small angle: 2/w * (1 - nv^2/(3 w^2))
     scale = jnp.where(
         small,
-        2.0 / w_safe * (1.0 - nv * nv / (3.0 * w_safe * w_safe)),
-        2.0 * jnp.arctan2(nv, w) / nv_safe,
+        2.0 / w_safe * (1.0 - nv2 / (3.0 * w_safe * w_safe)),
+        2.0 * jnp.arctan2(nv_safe, w) / nv_safe,
     )
     return scale[..., None] * v
 
@@ -302,3 +306,18 @@ def normalize_rotation(R):
     det = jnp.linalg.det(Rn)
     U = U.at[..., :, -1].multiply(jnp.sign(det)[..., None])
     return U @ Vt
+
+
+def orthonormalize(R):
+    """Cheap SO(3) re-projection via quaternion roundtrip (no SVD).
+
+    LOAD-BEARING for f32 matrix-form poses: rotation products leak
+    non-orthonormality (det != 1) at ~1e-7 per compose, and the tracking
+    loop's velocity model R_v = R_cur R_last^T re-INJECTS each frame's
+    defect multiplicatively — measured det growth x2.4 per frame until
+    the scene visibly inflates and tracking collapses. Tangent-space
+    retractions (exp(xi) R) cannot remove the defect (exp(xi) is
+    orthonormal), so every retraction/composition site must renormalize.
+    g2o/Sophus avoid this by storing quaternions; we store matrices for
+    the MXU and pay one quat roundtrip instead."""
+    return quat_to_rot(rot_to_quat(R))

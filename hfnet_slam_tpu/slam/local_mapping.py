@@ -78,6 +78,8 @@ class MapperConfig:
     ba_interval: int = 4
     # initial (2-KF global) BA — GlobalBundleAdjustemnt(20) at Tracking.cc:1884
     init_ba_rounds: tuple = ((20, True),)
+    # stereo depth-edge weight base bf = fx*baseline (0 = mono-only edges)
+    bf: float = 0.0
 
 
 class LocalMapper:
@@ -302,12 +304,29 @@ class LocalMapper:
         self._run_ba(list(all_kfs), fixed_ids=fixed_ids, rounds=cfg.ba_rounds,
                      mp_ids=mp_ids)
 
-    def _run_ba(self, kf_ids, fixed_ids, rounds, mp_ids=None):
+    def run_global_ba(self, fixed_ids, rounds=((10, True),), kf_cap=None,
+                      mp_cap=None, edge_cap=None):
+        """Full-map BA (GlobalBundleAdjustemnt analogue, Optimizer.cc:52):
+        every valid keyframe and landmark, capacity-capped. Loop closing
+        calls this after the essential graph (LoopClosing.cc:2408)."""
+        store = self.store
+        kf_ids = store.valid_kf_ids()
+        if len(kf_ids) < 2:
+            return
+        self._run_ba(list(kf_ids), fixed_ids=set(int(i) for i in fixed_ids),
+                     rounds=rounds, kf_cap=kf_cap, mp_cap=mp_cap,
+                     edge_cap=edge_cap)
+
+    def _run_ba(self, kf_ids, fixed_ids, rounds, mp_ids=None, kf_cap=None,
+                mp_cap=None, edge_cap=None):
         """Build a fixed-capacity BAProblem from the store, solve, write back,
         and detach outlier observations."""
         store = self.store
         cfg = self.cfg
-        kf_ids = np.asarray(sorted(int(i) for i in kf_ids), int)[: cfg.ba_kf_cap]
+        kf_cap = kf_cap or cfg.ba_kf_cap
+        mp_cap = mp_cap or cfg.ba_mp_cap
+        edge_cap = edge_cap or cfg.ba_edge_cap
+        kf_ids = np.asarray(sorted(int(i) for i in kf_ids), int)[:kf_cap]
         if mp_ids is None:
             mp_ids = store.points_seen_by(kf_ids)
         kf_in = np.isin(np.arange(store.k_max), kf_ids)
@@ -318,10 +337,10 @@ class LocalMapper:
         if len(kf_e) == 0:
             return
         # drop points whose every observation fell outside the KF set cap
-        mp_ids = np.intersect1d(mp_ids, np.unique(mp_e))[: cfg.ba_mp_cap]
+        mp_ids = np.intersect1d(mp_ids, np.unique(mp_e))[:mp_cap]
         mp_keep = np.isin(mp_e, mp_ids)
         kf_e, slot_e, mp_e = kf_e[mp_keep], slot_e[mp_keep], mp_e[mp_keep]
-        kf_e, slot_e, mp_e = kf_e[: cfg.ba_edge_cap], slot_e[: cfg.ba_edge_cap], mp_e[: cfg.ba_edge_cap]
+        kf_e, slot_e, mp_e = kf_e[:edge_cap], slot_e[:edge_cap], mp_e[:edge_cap]
 
         # global -> local index maps
         kf_loc = np.zeros(store.k_max, np.int32)
@@ -329,7 +348,7 @@ class LocalMapper:
         mp_loc = np.zeros(store.m_max, np.int32)
         mp_loc[mp_ids] = np.arange(len(mp_ids))
 
-        K, M, E = cfg.ba_kf_cap, cfg.ba_mp_cap, cfg.ba_edge_cap
+        K, M, E = kf_cap, mp_cap, edge_cap
         poses_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
         poses_t = np.zeros((K, 3), np.float32)
         poses_R[: len(kf_ids)] = store.kf_R[kf_ids]
@@ -345,12 +364,18 @@ class LocalMapper:
         uv = np.zeros((E, 2), np.float32)
         inv_s2 = np.ones(E, np.float32)
         valid = np.zeros(E, bool)
+        z_meas = np.zeros(E, np.float32)
+        wz = np.zeros(E, np.float32)
         n_e = len(kf_e)
         kf_idx[:n_e] = kf_loc[kf_e]
         pt_idx[:n_e] = mp_loc[mp_e]
         uv[:n_e] = store.kf_xy[kf_e, slot_e]
         inv_s2[:n_e] = 1.0 / (1.2 ** (2.0 * store.kf_octave[kf_e, slot_e]))
         valid[:n_e] = True
+        if cfg.bf > 0:
+            z = store.kf_depth[kf_e, slot_e]
+            z_meas[:n_e] = np.where(z > 0, z, 0.0)
+            wz[:n_e] = np.where(z > 0, cfg.bf / np.maximum(z, 1e-3) ** 2, 0.0)
 
         prob = ba.BAProblem(
             poses_R=jnp.asarray(poses_R), poses_t=jnp.asarray(poses_t),
@@ -358,6 +383,7 @@ class LocalMapper:
             kf_idx=jnp.asarray(kf_idx), pt_idx=jnp.asarray(pt_idx),
             uv=jnp.asarray(uv), inv_sigma2=jnp.asarray(inv_s2),
             valid=jnp.asarray(valid),
+            z_meas=jnp.asarray(z_meas), wz=jnp.asarray(wz),
         )
         out = ba.bundle_adjust(self.cam.kind, self.cam.params, prob, rounds=rounds)
 

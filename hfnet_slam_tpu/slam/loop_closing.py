@@ -1,0 +1,456 @@
+"""Loop closing: place recognition, Sim3 estimation, loop correction.
+
+TPU-native re-design of the reference LoopClosing thread
+(/root/reference/src/LoopClosing.cc). Pipeline parity:
+
+  detect (NewDetectCommonRegions, :328-545):
+    skip small maps (<12 KFs, :360); retrieval candidates
+    (DetectNBestCandidates(…,3), :494); per candidate
+    (DetectCommonRegionsFromBoW, :590-1036): match the current KF's
+    descriptors against the candidate window's map points, Sim3 RANSAC
+    (Sim3Solver RANSAC(0.99,40,750) -> here one batched hypothesis sweep,
+    optim/sim3.py), OptimizeSim3 (:864), guided projection gate (:843),
+    temporal consistency counter (loop confirmed at >=N consecutive hits,
+    :399).
+
+  correct (CorrectLoop, :1109-1353):
+    propagate the corrected Sim3 to the current KF's covisible window and
+    its map points (:1185-1251), fuse duplicated landmarks (SearchAndFuse,
+    :2255), optimize the Sim3 essential graph over spanning-tree + strong
+    covisibility + loop edges (Optimizer::OptimizeEssentialGraph,
+    Optimizer.cc:1501 -> optim/pose_graph.py), then global BA
+    (RunGlobalBundleAdjustment, :2408).
+
+Round-1 scope: runs synchronously on keyframe insertion (the reference's
+thread handoff and GBA thread become async dispatch in a later stage).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import lie
+from ..optim import sim3 as sim3_mod
+from . import retrieval, search
+from .map import MapStore
+
+
+@dataclasses.dataclass
+class LoopCloserConfig:
+    # detection gates. Reference values (LoopClosing.cc:593-597) are tuned
+    # to ~1000 keypoints/frame: nBoWMatches=150, nSim3Inliers=35,
+    # nProjMatches=50, nProjOptMatches=120. Defaults here scale to the
+    # denser synthetic test regime; dataset configs restore reference values.
+    min_kfs_in_map: int = 12       # :360
+    n_candidates: int = 3          # :494
+    n_covis_window: int = 5        # candidate + covisibles (:655: +10)
+    min_pair_matches: int = 40     # nBoWMatches analogue
+    min_sim3_inliers: int = 20     # nSim3Inliers analogue
+    min_proj_matches: int = 40     # nProjMatches analogue
+    consistency_hits: int = 1      # reference: 3 consecutive KFs (:399)
+    ransac_hyps: int = 512
+    ransac_chi2: float = 9.21
+    proj_radius: float = 8.0
+    fix_scale: bool = False        # True for stereo / post-IMU-init maps
+    # correction
+    covis_edge_min_weight: int = 100  # essential-graph covis edges
+    pg_iters: int = 15
+    run_gba: bool = True
+    gba_rounds: tuple = ((10, True),)
+    gba_kf_cap: int = 64
+    gba_mp_cap: int = 8192
+    gba_edge_cap: int = 32768
+    # fixed-shape capacities
+    pair_cap: int = 512        # 3D-3D pairs for the Sim3 stage
+    window_mp_cap: int = 4096  # candidate-window map points
+
+
+class LoopCloser:
+    def __init__(self, cam, store: MapStore, cfg: LoopCloserConfig = None,
+                 mapper=None, rng_seed: int = 7):
+        self.cam = cam
+        self.store = store
+        self.cfg = cfg or LoopCloserConfig()
+        self.mapper = mapper
+        self._np_rng = np.random.default_rng(rng_seed)
+        self.consistent_hits = 0
+        self.last_candidate = -1
+        self.stats = {"detected": 0, "corrected": 0, "checked": 0}
+        self.last_loop = None  # (kf, cand) of the last corrected loop
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, k: int) -> bool:
+        """Detect + (if confirmed) correct a loop ending at keyframe k.
+        Returns True when a loop correction ran."""
+        store = self.store
+        cfg = self.cfg
+        if store.kf_valid.sum() < cfg.min_kfs_in_map:
+            return False
+
+        exclude = set(int(j) for j in store.covisible_kfs(k, n=64, min_weight=1))
+        exclude.add(int(k))
+        cands = retrieval.detect_n_best_candidates(
+            store, store.kf_gdesc[k], exclude, n=cfg.n_candidates
+        )
+        self.stats["checked"] += 1
+        for cand in cands:
+            hit = self._match_candidate(k, cand)
+            if hit is None:
+                continue
+            # temporal consistency (reference: 3 consecutive KFs, :399)
+            if cand == self.last_candidate or self._near(cand, self.last_candidate):
+                self.consistent_hits += 1
+            else:
+                self.consistent_hits = 1
+            self.last_candidate = cand
+            if self.consistent_hits >= self.cfg.consistency_hits:
+                self.stats["detected"] += 1
+                self._correct_loop(k, cand, *hit)
+                self.consistent_hits = 0
+                self.last_candidate = -1
+                return True
+            return False
+        return False
+
+    def _near(self, a, b):
+        if a < 0 or b < 0:
+            return False
+        return self.store.covis[a, b] > 0
+
+    # ------------------------------------------------------------------
+    # detection
+    # ------------------------------------------------------------------
+    def _match_candidate(self, k: int, cand: int):
+        """3D-3D association + Sim3 between KF k and the candidate window.
+        Returns (R_cm, t_cm, s_cm, loop_mp_ids) or None. S_cm maps
+        candidate-camera coords into current-camera coords (the reference's
+        gScm)."""
+        store = self.store
+        cfg = self.cfg
+
+        window = [cand] + [int(j) for j in store.covisible_kfs(cand, n=cfg.n_covis_window, min_weight=1)]
+        win_mps = store.points_seen_by(window)
+        if len(win_mps) == 0:
+            return None
+
+        # current KF slots that carry a map point
+        slots = np.nonzero((store.kf_obs[k] >= 0) & store.kf_mask[k])[0]
+        if len(slots) < cfg.min_pair_matches:
+            return None
+
+        # descriptor matching: k's keypoints vs window map points (the
+        # BoW-free SearchByBoW analogue, one MXU matmul)
+        cap = max(cfg.pair_cap, 1)
+        wcap = cfg.window_mp_cap
+        win_mps = win_mps[:wcap]
+        mp_desc = np.zeros((wcap, store.desc_dim), np.float32)
+        mp_desc[: len(win_mps)] = store.mp_desc[win_mps]
+        mp_valid = np.zeros(wcap, bool)
+        mp_valid[: len(win_mps)] = True
+        kf_sel = np.zeros(store.n_slots, bool)
+        kf_sel[slots] = True
+        idx, _ = search.search_brute_force(
+            jnp.asarray(store.kf_desc[k]), jnp.asarray(kf_sel),
+            jnp.asarray(mp_desc), jnp.asarray(mp_valid),
+            max_dist=0.75, ratio=1.0,
+        )
+        idx = np.asarray(idx)
+        mslots = np.nonzero(idx >= 0)[0]
+        if len(mslots) < cfg.min_pair_matches:
+            return None
+
+        # 3D-3D pairs: current KF's own map point <-> window map point
+        mp_a = store.kf_obs[k][mslots]              # current-map points
+        mp_b = win_mps[idx[mslots]]                 # candidate-window points
+        Rk, tk = store.kf_R[k], store.kf_t[k]
+        Rc, tc = store.kf_R[cand], store.kf_t[cand]
+        p1 = store.mp_pos[mp_a] @ Rk.T + tk         # in current camera
+        p2 = store.mp_pos[mp_b] @ Rc.T + tc         # in candidate camera
+        uv1 = store.kf_xy[k][mslots]
+        uv2 = np.asarray(self.cam.project(jnp.asarray(p2)))
+        s2_1 = (1.2 ** (2.0 * store.kf_octave[k][mslots])).astype(np.float32)
+
+        n = min(len(mslots), cap)
+        P1 = np.zeros((cap, 3), np.float32); P1[:n] = p1[:n]
+        P2 = np.zeros((cap, 3), np.float32); P2[:n] = p2[:n]
+        U1 = np.zeros((cap, 2), np.float32); U1[:n] = uv1[:n]
+        U2 = np.zeros((cap, 2), np.float32); U2[:n] = uv2[:n]
+        IS1 = np.ones(cap, np.float32); IS1[:n] = 1.0 / s2_1[:n]
+        valid = np.zeros(cap, bool); valid[:n] = True
+
+        key = jnp.asarray(self._np_rng.integers(0, 2**31, 2), jnp.uint32)
+        res = sim3_mod.sim3_ransac(
+            self.cam.kind, self.cam.params,
+            jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(U1), jnp.asarray(U2),
+            jnp.asarray(IS1), jnp.asarray(IS1), jnp.asarray(valid),
+            key,
+            n_hyps=cfg.ransac_hyps, chi2_th=cfg.ransac_chi2,
+            fix_scale=cfg.fix_scale,
+        )
+        if int(res["n_inliers"]) < cfg.min_sim3_inliers:
+            return None
+
+        # refine (OptimizeSim3 analogue). res maps 2->1 = candidate->current.
+        opt = sim3_mod.optimize_sim3(
+            self.cam.kind, self.cam.params,
+            res["R12"], res["t12"], res["s12"],
+            jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(U1), jnp.asarray(U2),
+            jnp.asarray(IS1), jnp.asarray(IS1), res["inliers"],
+            fix_scale=cfg.fix_scale,
+        )
+        if int(opt["n_inliers"]) < cfg.min_sim3_inliers:
+            return None
+        R_cm = np.asarray(opt["R12"]); t_cm = np.asarray(opt["t12"])
+        s_cm = float(opt["s12"])
+
+        # guided-projection verification (SearchByProjection with the
+        # corrected pose, :843): project window points into KF k under
+        # S_cw = S_cm o T_mw and count descriptor-consistent matches
+        R_cw = R_cm @ Rc
+        t_cw = s_cm * (R_cm @ tc) + t_cm
+        pos = np.zeros((wcap, 3), np.float32)
+        pos[: len(win_mps)] = store.mp_pos[win_mps]
+        idx2, _, _ = search.search_by_projection(
+            self.cam.kind, self.cam.params, (self.cam.width, self.cam.height),
+            jnp.asarray(R_cw * s_cm), jnp.asarray(t_cw),
+            jnp.asarray(pos), jnp.asarray(mp_desc), jnp.asarray(mp_valid),
+            jnp.asarray(store.kf_xy[k]), jnp.asarray(store.kf_desc[k]),
+            jnp.asarray(store.kf_octave[k]), jnp.asarray(store.kf_mask[k]),
+            radius=cfg.proj_radius, max_dist=0.75,
+        )
+        n_proj = int((np.asarray(idx2) >= 0).sum())
+        if n_proj < cfg.min_proj_matches:
+            return None
+        return R_cm, t_cm, s_cm, win_mps
+
+    # ------------------------------------------------------------------
+    # correction
+    # ------------------------------------------------------------------
+    def _correct_loop(self, k: int, cand: int, R_cm, t_cm, s_cm, loop_mps):
+        """CorrectLoop (:1109): Sim3-propagate the current window, fuse
+        duplicates, essential-graph optimize, global BA."""
+        store = self.store
+        cfg = self.cfg
+
+        kf_ids = store.valid_kf_ids()
+        pre_R = store.kf_R.copy()
+        pre_t = store.kf_t.copy()
+
+        # corrected Sim3 of the current KF: S_cw = S_cm o T_mw
+        Rc, tc = store.kf_R[cand], store.kf_t[cand]
+        S_cw = (R_cm @ Rc, s_cm * (R_cm @ tc) + t_cm, s_cm)
+
+        # current window = k + covisibles (:1173)
+        window = [int(k)] + [int(j) for j in store.covisible_kfs(k, n=32, min_weight=1)]
+        window = [w for w in window if store.kf_valid[w]]
+
+        corr_R = {}; corr_t = {}; corr_s = {}
+        Rk, tk = store.kf_R[k], store.kf_t[k]
+        for i in window:
+            if i == k:
+                corr_R[i], corr_t[i], corr_s[i] = S_cw
+                continue
+            # S_ik = T_iw o T_kw^{-1} (pre-correction, scale 1)
+            Ri, ti = store.kf_R[i], store.kf_t[i]
+            R_ik = Ri @ Rk.T
+            t_ik = ti - R_ik @ tk
+            # S_iw_corr = S_ik o S_cw
+            Rn = R_ik @ S_cw[0]
+            tn = S_cw[2] * (R_ik @ S_cw[1]) + t_ik
+            corr_R[i], corr_t[i], corr_s[i] = Rn, tn, S_cw[2]
+
+        # move window map points: p' = S_corr^{-1}(T_old(p)) (:1185-1251)
+        win_mps = store.points_seen_by(window)
+        if len(win_mps):
+            ref_kf = np.full(len(win_mps), -1, np.int64)
+            # reference keyframe per point = first window KF observing it
+            for i in window:
+                obs = store.kf_obs[i]
+                owned = obs[obs >= 0]
+                sel = np.isin(win_mps, owned) & (ref_kf < 0)
+                ref_kf[sel] = i
+            for i in window:
+                sel = ref_kf == i
+                if not sel.any():
+                    continue
+                p = store.mp_pos[win_mps[sel]]
+                p_cam = p @ pre_R[i].T + pre_t[i]
+                Rn, tn, sn = corr_R[i], corr_t[i], corr_s[i]
+                # inverse sim3: p_w = R^T (p_cam - t) / s
+                store.mp_pos[win_mps[sel]] = ((p_cam - tn) @ Rn) / sn
+
+        # write corrected window poses as SE3 (fold scale into translation:
+        # [R, t/s], :1239)
+        for i in window:
+            store.kf_R[i] = corr_R[i]
+            store.kf_t[i] = corr_t[i] / corr_s[i]
+
+        # fuse loop landmarks into the corrected window (SearchAndFuse :2255)
+        self._fuse_loop_points(window, loop_mps)
+
+        # ---- essential graph (Optimizer.cc:1501) ------------------------
+        self._essential_graph(kf_ids, pre_R, pre_t, k, cand,
+                              (R_cm, t_cm, s_cm), window)
+        store.loop_edges.append((int(cand), int(k)))
+
+        # ---- global BA (:2408) ------------------------------------------
+        if cfg.run_gba and self.mapper is not None:
+            self.mapper.run_global_ba(
+                fixed_ids=[int(cand)], rounds=cfg.gba_rounds,
+                kf_cap=cfg.gba_kf_cap, mp_cap=cfg.gba_mp_cap,
+                edge_cap=cfg.gba_edge_cap,
+            )
+        self.stats["corrected"] += 1
+        self.last_loop = (int(k), int(cand))
+
+    def _fuse_loop_points(self, window, loop_mps):
+        """Project loop map points into each corrected window KF and merge
+        duplicates: the window KF's conflicting observation is replaced by
+        the (older) loop landmark (:1260-1273)."""
+        store = self.store
+        cfg = self.cfg
+        loop_mps = loop_mps[store.mp_valid[loop_mps]]
+        if len(loop_mps) == 0:
+            return
+        cap = cfg.window_mp_cap
+        loop_mps = loop_mps[:cap]
+        pos = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, store.desc_dim), np.float32)
+        valid = np.zeros(cap, bool)
+        pos[: len(loop_mps)] = store.mp_pos[loop_mps]
+        desc[: len(loop_mps)] = store.mp_desc[loop_mps]
+        valid[: len(loop_mps)] = True
+        for i in window:
+            idx, _, _ = search.search_by_projection(
+                self.cam.kind, self.cam.params, (self.cam.width, self.cam.height),
+                jnp.asarray(store.kf_R[i]), jnp.asarray(store.kf_t[i]),
+                jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
+                jnp.asarray(store.kf_xy[i]), jnp.asarray(store.kf_desc[i]),
+                jnp.asarray(store.kf_octave[i]), jnp.asarray(store.kf_mask[i]),
+                radius=cfg.proj_radius, max_dist=0.75,
+            )
+            idx = np.asarray(idx)
+            slots = np.nonzero(idx >= 0)[0]
+            if len(slots) == 0:
+                continue
+            new_ids = loop_mps[idx[slots]]
+            old_ids = store.kf_obs[i][slots]
+            # replace: duplicates (old != -1, old != new) die in favor of the
+            # loop point; empty slots gain an observation
+            for s, old, new in zip(slots, old_ids, new_ids):
+                if old == new:
+                    continue
+                store.set_observation(int(i), int(s), int(new))
+                if old >= 0 and store.mp_obs_count[old] == 0:
+                    store.remove_points([old])
+            store.update_covisibility(int(i))
+
+    def _essential_graph(self, kf_ids, pre_R, pre_t, k, cand, S_cm, window):
+        """Build + solve the Sim3 pose graph; write back poses and correct
+        all non-window map points through their reference KF."""
+        from ..optim import pose_graph as pg
+
+        store = self.store
+        cfg = self.cfg
+        kf_ids = np.asarray(kf_ids, int)
+        K = len(kf_ids)
+        loc = {int(g): n for n, g in enumerate(kf_ids)}
+
+        # ---- edges from PRE-correction poses ----------------------------
+        pairs, weights = [], []
+        seen = set()
+
+        def add_edge(a, b, w):
+            a, b = int(a), int(b)
+            if a == b or (a, b) in seen or (b, a) in seen:
+                return
+            if a not in loc or b not in loc:
+                return
+            seen.add((a, b))
+            pairs.append((loc[a], loc[b]))
+            weights.append(w)
+
+        for g in kf_ids:
+            p = int(store.kf_parent[g])
+            if p >= 0 and store.kf_valid[p]:
+                add_edge(p, g, 1.0)   # spanning tree
+        for a, b in store.loop_edges:
+            if store.kf_valid[a] and store.kf_valid[b]:
+                add_edge(a, b, 1.0)   # previous loop edges
+        cov = store.covis
+        strong = np.argwhere(cov >= cfg.covis_edge_min_weight)
+        for a, b in strong:
+            if a < b and store.kf_valid[a] and store.kf_valid[b]:
+                add_edge(a, b, 1.0)
+
+        if not pairs:
+            return
+
+        # measurements from pre-correction SE3 poses (scale 1)
+        s_one = np.ones(store.k_max, np.float32)
+        Rm, tm, sm, w = pg.make_edges_from_poses(
+            pre_R[kf_ids], pre_t[kf_ids], s_one[kf_ids],
+            np.asarray(pairs), np.asarray(weights),
+        )
+        # the loop edge carries the measured Sim3: edge (i=cand, j=k),
+        # measurement S_km = S_cm (maps cand-cam coords into k-cam coords)
+        pairs.append((loc[int(cand)], loc[int(k)]))
+        Rm = np.concatenate([Rm, np.asarray(S_cm[0])[None]], 0)
+        tm = np.concatenate([tm, np.asarray(S_cm[1])[None]], 0)
+        sm = np.concatenate([sm, np.asarray([S_cm[2]], np.float32)], 0)
+        w = np.concatenate([w, np.asarray([1.0], np.float32)], 0)
+
+        E = len(pairs)
+        e_i = np.asarray([p[0] for p in pairs], np.int32)
+        e_j = np.asarray([p[1] for p in pairs], np.int32)
+
+        # ---- vertices: corrected sim3 for window, pre poses elsewhere ----
+        V_R = store.kf_R[kf_ids].copy()
+        V_t = store.kf_t[kf_ids].copy()
+        # window poses already carry the correction with scale folded in
+        # ([R, t/s]); starting every vertex at s=1 lets the graph
+        # re-distribute the remaining drift
+        V_s = np.ones(K, np.float32)
+        fixed = np.zeros(K, bool)
+        fixed[loc[int(cand)]] = True
+
+        prob = pg.PoseGraphProblem(
+            R=jnp.asarray(V_R), t=jnp.asarray(V_t), s=jnp.asarray(V_s),
+            fixed=jnp.asarray(fixed),
+            e_i=jnp.asarray(e_i), e_j=jnp.asarray(e_j),
+            e_R=jnp.asarray(Rm), e_t=jnp.asarray(tm), e_s=jnp.asarray(sm),
+            e_w=jnp.asarray(w), e_valid=jnp.ones(E, bool),
+        )
+        out, _ = pg.optimize_pose_graph(prob, n_iters=cfg.pg_iters,
+                                        fix_scale=cfg.fix_scale)
+
+        R_new = np.asarray(out.R)
+        t_new = np.asarray(out.t)
+        s_new = np.asarray(out.s)
+
+        # ---- correct map points via their reference KF ------------------
+        # p' = S_new^{-1}( S_old(p) ), S_old = pose before this solve
+        mp_ids = np.nonzero(store.mp_valid)[0]
+        if len(mp_ids):
+            ref = store.mp_first_kf[mp_ids].copy()
+            bad = (ref < 0) | (~store.kf_valid[np.clip(ref, 0, store.k_max - 1)])
+            if bad.any():
+                # fall back to any current observer
+                kf_e, _, mp_e = store.observing_slots(mp_ids[bad])
+                first = {}
+                for kf_, mp_ in zip(kf_e, mp_e):
+                    first.setdefault(int(mp_), int(kf_))
+                ref[bad] = [first.get(int(m), -1) for m in mp_ids[bad]]
+            for n, g in enumerate(kf_ids):
+                sel = ref == g
+                if not sel.any():
+                    continue
+                ids = mp_ids[sel]
+                p_cam = store.mp_pos[ids] @ V_R[n].T + V_t[n]
+                store.mp_pos[ids] = ((p_cam - t_new[n]) @ R_new[n]) / s_new[n]
+
+        # ---- write back poses: T = [R, t/s] ------------------------------
+        store.kf_R[kf_ids] = R_new
+        store.kf_t[kf_ids] = t_new / s_new[:, None]

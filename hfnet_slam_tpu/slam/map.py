@@ -42,6 +42,12 @@ class MapStore:
         self.kf_mask = np.zeros((K, N), bool)
         self.kf_gdesc = np.zeros((K, self.gdesc_dim), np.float32)
         self.kf_obs = np.full((K, N), -1, np.int32)
+        # spanning tree (KeyFrame::mpParent analogue): parent = best covisible
+        # KF at insertion time; -1 for roots. Loop edges live beside it.
+        self.kf_parent = np.full(K, -1, np.int32)
+        self.loop_edges: list[tuple[int, int]] = []
+        # stereo/RGB-D per-keypoint depth (mvDepth analogue; 0 = none)
+        self.kf_depth = np.zeros((K, N), np.float32)
 
         self.mp_pos = np.zeros((M, 3), np.float32)
         self.mp_desc = np.zeros((M, D), np.float32)
@@ -52,6 +58,7 @@ class MapStore:
         self.mp_obs_count = np.zeros(M, np.int32)  # keyframe observations
 
         self.covis = np.zeros((K, K), np.int32)
+        self._covis_scratch = None  # native covis_update mark buffer
         self.n_kf = 0
         self.n_mp = 0
         self._free_mp: list[int] = []
@@ -60,7 +67,7 @@ class MapStore:
     # ------------------------------------------------------------------
     # keyframes
     # ------------------------------------------------------------------
-    def add_keyframe(self, R, t, feats, timestamp, obs=None) -> int:
+    def add_keyframe(self, R, t, feats, timestamp, obs=None, depth=None) -> int:
         """Insert a keyframe from a Features struct. Returns kf id."""
         if self._free_kf:
             k = self._free_kf.pop()
@@ -80,22 +87,35 @@ class MapStore:
         self.kf_gdesc[k, : len(g)] = g[: self.gdesc_dim]
         self.kf_timestamp[k] = timestamp
         self.kf_obs[k] = -1
+        self.kf_depth[k] = 0.0 if depth is None else np.asarray(depth, np.float32)
         self.kf_valid[k] = True
         if obs is not None:
             obs = np.asarray(obs, np.int32)
             self.kf_obs[k] = obs
             np.add.at(self.mp_obs_count, obs[obs >= 0], 1)
             self.update_covisibility(k)
+            # spanning-tree parent: strongest covisible (UpdateConnections
+            # first-connection rule, reference src/KeyFrame.cc)
+            w = self.covis[k].copy()
+            w[~self.kf_valid] = 0
+            w[k] = 0
+            if w.max() > 0:
+                self.kf_parent[k] = int(np.argmax(w))
         return k
 
     def remove_keyframe(self, k):
-        """Cull a keyframe (KeyFrameCulling analogue)."""
+        """Cull a keyframe (KeyFrameCulling analogue). Children in the
+        spanning tree are re-parented to the culled KF's parent
+        (SetBadFlag's parent reassignment, reference src/KeyFrame.cc)."""
         self.kf_valid[k] = False
         obs = self.kf_obs[k]
         np.subtract.at(self.mp_obs_count, obs[obs >= 0], 1)
         self.kf_obs[k] = -1
         self.covis[k, :] = 0
         self.covis[:, k] = 0
+        self.kf_parent[self.kf_parent == k] = self.kf_parent[k]
+        self.kf_parent[k] = -1
+        self.loop_edges = [e for e in self.loop_edges if k not in e]
         self._free_kf.append(k)
 
     def valid_kf_ids(self):
@@ -160,21 +180,14 @@ class MapStore:
 
     def update_covisibility(self, k):
         """Recompute covisibility weights of keyframe k against all others
-        (UpdateConnections analogue: weight = #shared map points)."""
-        obs_k = self.kf_obs[k]
-        obs_k = obs_k[obs_k >= 0]
-        if len(obs_k) == 0:
-            return
-        kf_ids = self.valid_kf_ids()
-        member = np.zeros(self.m_max, bool)
-        member[obs_k] = True
-        for j in kf_ids:
-            if j == k:
-                continue
-            obs_j = self.kf_obs[j]
-            w = int(member[obs_j[obs_j >= 0]].sum())
-            self.covis[k, j] = w
-            self.covis[j, k] = w
+        (UpdateConnections analogue: weight = #shared map points). Runs in
+        the native host library when available (native/mapcore.cpp)."""
+        from .. import native
+
+        if self._covis_scratch is None:
+            self._covis_scratch = np.zeros(self.m_max, np.uint8)
+        native.covis_update(self.kf_obs, self.kf_valid, self.covis, k,
+                            self.m_max, self._covis_scratch)
 
     def covisible_kfs(self, k, n=10, min_weight=15):
         """Best covisible keyframes of k (GetBestCovisibilityKeyFrames)."""
@@ -186,14 +199,12 @@ class MapStore:
 
     def observing_slots(self, mp_ids):
         """For BA edge building: all (kf, slot) observing the given points.
-        Returns (kf_idx, slot_idx, mp_idx) arrays."""
-        member = np.zeros(self.m_max + 1, bool)
-        member[np.asarray(mp_ids, int)] = True
-        obs = self.kf_obs.copy()
-        obs[~self.kf_valid] = -1
-        sel = (obs >= 0) & member[np.clip(obs, 0, self.m_max)]
-        kf_idx, slot_idx = np.nonzero(sel)
-        return kf_idx, slot_idx, obs[kf_idx, slot_idx]
+        Returns (kf_idx, slot_idx, mp_idx) arrays. Native-accelerated."""
+        from .. import native
+
+        member = np.zeros(self.m_max, np.uint8)
+        member[np.asarray(mp_ids, int)] = 1
+        return native.observing_slots(self.kf_obs, self.kf_valid, member)
 
     def points_seen_by(self, kf_ids):
         """Union of map-point ids observed by the given keyframes."""
@@ -212,6 +223,7 @@ class MapStore:
             n_mp=self.n_mp,
             free_mp=np.asarray(self._free_mp, np.int64),
             free_kf=np.asarray(self._free_kf, np.int64),
+            loop_edges=np.asarray(self.loop_edges, np.int64).reshape(-1, 2),
             caps=np.asarray([self.k_max, self.m_max, self.n_slots, self.desc_dim, self.gdesc_dim]),
         )
 
@@ -221,17 +233,21 @@ class MapStore:
         caps = z["caps"]
         m = MapStore(*[int(c) for c in caps])
         for f in _ARRAY_FIELDS:
-            getattr(m, f)[...] = z[f]
+            if f in z:  # forward-compatible with older snapshots
+                getattr(m, f)[...] = z[f]
         m.n_kf = int(z["n_kf"])
         m.n_mp = int(z["n_mp"])
         m._free_mp = [int(i) for i in z["free_mp"]]
         m._free_kf = [int(i) for i in z["free_kf"]]
+        if "loop_edges" in z:
+            m.loop_edges = [(int(a), int(b)) for a, b in z["loop_edges"]]
         return m
 
 
 _ARRAY_FIELDS = [
     "kf_R", "kf_t", "kf_valid", "kf_timestamp", "kf_xy", "kf_desc",
-    "kf_score", "kf_octave", "kf_mask", "kf_gdesc", "kf_obs",
+    "kf_score", "kf_octave", "kf_mask", "kf_gdesc", "kf_obs", "kf_parent",
+    "kf_depth",
     "mp_pos", "mp_desc", "mp_valid", "mp_visible", "mp_found",
     "mp_first_kf", "mp_obs_count", "covis",
 ]

@@ -18,12 +18,14 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax.numpy as jnp
 
-from .. import lie
 from ..geometry import cameras
+from .atlas import Atlas
 from .local_mapping import LocalMapper, MapperConfig
+from .loop_closing import LoopCloser, LoopCloserConfig
 from .map import MapStore
-from .tracking import Tracker, TrackerConfig
+from .tracking import LOST, Tracker, TrackerConfig
 
 
 @dataclasses.dataclass
@@ -33,8 +35,16 @@ class SystemConfig:
     n_slots: int = 1024       # keypoint slots per frame
     desc_dim: int = 256
     gdesc_dim: int = 4096
+    loop_closing: bool = True  # the reference's `loopClosing: 1` toggle
+    # stereo rig (Settings: Stereo.b / depth gates)
+    baseline: float = 0.0      # metres; 0 = no stereo rig
+    depth_factor: float = 1.0  # RGB-D raw-to-metres (RGBD.DepthMapFactor)
+    # RGB-D virtual baseline for depth-edge weighting (the reference's
+    # Camera.bf serves both stereo and RGB-D)
+    virtual_baseline: float = 0.08
     tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
     mapper: MapperConfig = dataclasses.field(default_factory=MapperConfig)
+    loop: LoopCloserConfig = dataclasses.field(default_factory=LoopCloserConfig)
 
 
 class SLAMSystem:
@@ -47,19 +57,83 @@ class SLAMSystem:
         self.extractor = extractor
         self.cfg = cfg or SystemConfig()
         c = self.cfg
-        self.store = MapStore(c.k_max, c.m_max, c.n_slots, c.desc_dim, c.gdesc_dim)
+        self.atlas = Atlas(c.k_max, c.m_max, c.n_slots, c.desc_dim, c.gdesc_dim)
+        # depth-edge weight base bf = fx * b (stereo rig or RGB-D virtual
+        # baseline); only observations that actually carry depth use it
+        bf = float(cam.fx) * (c.baseline if c.baseline > 0 else c.virtual_baseline)
+        c.tracker.bf = bf
+        c.mapper.bf = bf
         self.mapper = LocalMapper(cam, self.store, c.mapper)
-        self.tracker = Tracker(cam, self.store, c.tracker, mapper=self.mapper)
+        self.loop_closer = (
+            LoopCloser(cam, self.store, c.loop, mapper=self.mapper)
+            if c.loop_closing else None
+        )
+        self.tracker = Tracker(cam, self.store, c.tracker, mapper=self.mapper,
+                               loop_closer=self.loop_closer)
+
+    @property
+    def store(self) -> MapStore:
+        return self.atlas.active
 
     # ------------------------------------------------------------------
     def track_monocular(self, image, timestamp: float):
         """Feed one frame. Returns (state, R_cw, t_cw) — pose may be None."""
         feats = self.extractor(image)
-        return self.tracker.track(feats, timestamp)
+        return self.track_features(feats, timestamp)
 
-    def track_features(self, feats, timestamp: float):
+    def track_stereo(self, image_left, image_right, timestamp: float):
+        """Rectified stereo frame (System::TrackStereo analogue): extract
+        both images, associate along rows for depth, then track."""
+        from ..ops import stereo as S
+
+        fl = self.extractor(image_left)
+        fr = self.extractor(image_right)
+        depth, _ = S.match_stereo(
+            fl.xy, fl.desc, fl.octave, fl.mask,
+            fr.xy, fr.desc, fr.octave, fr.mask,
+            fx=float(self.cam.fx), baseline=self.cfg.baseline,
+        )
+        return self.track_features(fl, timestamp, depth=np.asarray(depth))
+
+    def track_rgbd(self, image, depth_image, timestamp: float):
+        """RGB-D frame (System::TrackRGBD analogue)."""
+        from ..ops import stereo as S
+
+        feats = self.extractor(image)
+        depth = S.depth_at_keypoints(
+            jnp.asarray(depth_image), feats.xy, self.cfg.depth_factor
+        )
+        return self.track_features(feats, timestamp, depth=np.asarray(depth))
+
+    def track_features(self, feats, timestamp: float, depth=None):
         """Feed pre-extracted features (testing / offline pipelines)."""
-        return self.tracker.track(feats, timestamp)
+        out = self.tracker.track(feats, timestamp, depth=depth)
+        if out[0] == LOST:
+            self._handle_lost()
+        return out
+
+    # ------------------------------------------------------------------
+    def _handle_lost(self):
+        """Multi-map recovery (SURVEY.md §5.3): a mature map is stored and a
+        fresh one starts (CreateMapInAtlas, Tracking.cc:1328); an immature
+        one (<=10 KFs) is discarded in place (ResetActiveMap, :1323)."""
+        mature = self.store.kf_valid.sum() > self.cfg.tracker.mature_map_kfs
+        if mature:
+            store = self.atlas.create_new_map()
+        else:
+            store = self.atlas.reset_active_map()
+        self._rewire(store)
+        self.tracker.reset_for_new_map(store)
+
+    def _rewire(self, store):
+        self.mapper.store = store
+        self.mapper.recent_points = []
+        self.mapper.kf_born = {}
+        self.tracker.store = store
+        if self.loop_closer is not None:
+            self.loop_closer.store = store
+            self.loop_closer.consistent_hits = 0
+            self.loop_closer.last_candidate = -1
 
     # ------------------------------------------------------------------
     @property
@@ -69,26 +143,37 @@ class SLAMSystem:
     def trajectory_tum(self) -> str:
         """TUM format: `t tx ty tz qx qy qz qw` (camera-to-world), matching
         System::SaveTrajectoryTUM's convention (System.cc:512)."""
-        lines = []
-        for ts, R_cw, t_cw in self.tracker.trajectory:
-            R_wc = R_cw.T
-            t_wc = -R_cw.T @ t_cw
-            q = np.asarray(lie.rot_to_quat(R_wc))  # (w,x,y,z)
-            lines.append(
-                f"{ts:.6f} {t_wc[0]:.7f} {t_wc[1]:.7f} {t_wc[2]:.7f} "
-                f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}"
-            )
-        return "\n".join(lines) + "\n"
+        from ..utils import trajectory as TJ
 
-    def save_trajectory(self, path):
-        with open(path, "w") as f:
-            f.write(self.trajectory_tum())
+        return "\n".join(TJ.tum_lines(self.tracker.trajectory)) + "\n"
+
+    def save_trajectory(self, path, fmt: str = "tum"):
+        """fmt: tum | euroc | kitti (SaveTrajectory{TUM,EuRoC,KITTI})."""
+        from ..utils import trajectory as TJ
+
+        TJ.save(path, self.tracker.trajectory, fmt)
+
+    def save_keyframe_trajectory(self, path, fmt: str = "tum"):
+        """SaveKeyFrameTrajectoryTUM analogue: keyframe poses only."""
+        from ..utils import trajectory as TJ
+
+        TJ.save(path, TJ.keyframe_trajectory(self.store), fmt)
 
     # ------------------------------------------------------------------
     def save_map(self, path):
+        """Single-map .npz snapshot of the active map."""
         self.store.save(path)
 
     def load_map(self, path):
-        self.store = MapStore.load(path)
-        self.mapper.store = self.store
-        self.tracker.store = self.store
+        """Replace the active map with a .npz snapshot."""
+        store = MapStore.load(path)
+        self.atlas.maps[self.atlas.active_idx] = store
+        self._rewire(store)
+
+    def save_atlas(self, path):
+        """Whole-session snapshot (SaveAtlas analogue): all maps + manifest."""
+        self.atlas.save(path)
+
+    def load_atlas(self, path):
+        self.atlas = Atlas.load(path)
+        self._rewire(self.atlas.active)

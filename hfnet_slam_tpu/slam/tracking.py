@@ -35,8 +35,9 @@ from .map import MapStore
 NOT_INITIALIZED = 0
 OK = 1
 LOST = 2
+RECENTLY_LOST = 3
 
-_STATE_NAMES = {0: "NOT_INITIALIZED", 1: "OK", 2: "LOST"}
+_STATE_NAMES = {0: "NOT_INITIALIZED", 1: "OK", 2: "LOST", 3: "RECENTLY_LOST"}
 
 
 @dataclasses.dataclass
@@ -58,6 +59,22 @@ class TrackerConfig:
     max_frames_between_kf: int = 10
     min_frames_between_kf: int = 0
     kf_ref_ratio: float = 0.9
+    # relocalization (Tracking::Relocalization, Tracking.cc:3024;
+    # RECENTLY_LOST window time_recently_lost=3s -> frames at ~20Hz)
+    min_reloc_matches: int = 15    # SearchByBoW gate (:3061)
+    min_reloc_pnp_inliers: int = 10
+    min_reloc_inliers: int = 50    # final PoseOptimization gate (:3199)
+    recently_lost_frames: int = 60
+    mature_map_kfs: int = 10       # >10 KFs -> RECENTLY_LOST else LOST (:1263)
+    pnp_hyps: int = 256
+    # stereo / RGB-D (Tracking::StereoInitialization, Tracking.cc:1639;
+    # CreateNewKeyFrame close-point creation, :2546)
+    th_depth: float = 35.0          # close/far split in scene units
+    min_stereo_init_points: int = 100
+    max_depth_points_per_kf: int = 100
+    # stereo depth-edge weight base: bf = fx * baseline (pixel-equivalent
+    # depth information, see factors.reproj_depth_residual). 0 = mono-only.
+    bf: float = 0.0
     # capacities
     local_mp_cap: int = 4096
     # init quality
@@ -74,6 +91,7 @@ class Frame:
     R: Optional[np.ndarray] = None  # world->cam
     t: Optional[np.ndarray] = None
     obs: Optional[np.ndarray] = None  # (N_slots,) mp id or -1
+    depth: Optional[np.ndarray] = None  # (N_slots,) stereo/RGBD depth, 0=none
 
     @property
     def n_feats(self):
@@ -82,11 +100,12 @@ class Frame:
 
 class Tracker:
     def __init__(self, cam: cameras.Camera, store: MapStore, cfg: TrackerConfig = None,
-                 mapper=None, rng_seed: int = 0):
+                 mapper=None, loop_closer=None, rng_seed: int = 0):
         self.cam = cam
         self.store = store
         self.cfg = cfg or TrackerConfig()
         self.mapper = mapper  # local_mapping.LocalMapper, set by System
+        self.loop_closer = loop_closer  # loop_closing.LoopCloser or None
         self.state = NOT_INITIALIZED
         self.last_frame: Optional[Frame] = None
         self.init_ref: Optional[Frame] = None
@@ -95,16 +114,37 @@ class Tracker:
         self.frames_since_kf = 0
         self.frame_id = 0
         self.n_inliers = 0
+        self.frames_lost = 0
+        self.n_relocalizations = 0
         self._key = jnp.asarray(np.random.default_rng(rng_seed).integers(0, 2**31, 2), jnp.uint32)
         self.trajectory = []  # (timestamp, R, t) per tracked frame
 
     # ------------------------------------------------------------------
-    def track(self, feats, timestamp):
-        """Main entry (GrabImageMonocular + Track analogue).
+    def reset_for_new_map(self, store: MapStore):
+        """Re-point at a fresh MapStore after an Atlas map switch
+        (CreateMapInAtlas / ResetActiveMap aftermath)."""
+        self.store = store
+        self.state = NOT_INITIALIZED
+        self.last_frame = None
+        self.init_ref = None
+        self.velocity = None
+        self.ref_kf = -1
+        self.frames_since_kf = 0
+        self.frames_lost = 0
+        self.n_inliers = 0
+
+    # ------------------------------------------------------------------
+    def track(self, feats, timestamp, depth=None):
+        """Main entry (GrabImage{Monocular,Stereo,RGBD} + Track analogue).
+        depth: optional (N_slots,) per-keypoint depth (stereo/RGB-D).
         Returns (state, R, t)."""
-        frame = Frame(feats=feats, timestamp=timestamp)
+        frame = Frame(feats=feats, timestamp=timestamp,
+                      depth=None if depth is None else np.asarray(depth))
         if self.state == NOT_INITIALIZED:
-            self._monocular_initialization(frame)
+            if frame.depth is not None:
+                self._stereo_initialization(frame)
+            else:
+                self._monocular_initialization(frame)
         elif self.state == OK:
             ok = self._track_frame(frame)
             if ok:
@@ -115,17 +155,41 @@ class Tracker:
                 frame.R = None
                 frame.t = None
             if frame.R is None:
-                self.state = LOST
+                self._on_tracking_failure()
             else:
                 if self._need_new_keyframe(frame):
                     self._create_keyframe(frame)
                 self.last_frame = frame
-        # LOST: round-1 slice stops tracking (multi-map recovery is a later
-        # stage; reference would CreateMapInAtlas / Relocalization here)
+        elif self.state == RECENTLY_LOST:
+            # keep trying Relocalization inside the window (Tracking.cc:
+            # 1285-1316; visual-only path — IMU prediction comes with the
+            # inertial frontend)
+            if self._relocalize(frame):
+                self.state = OK
+                self._track_local_map(frame)
+                if frame.R is not None:
+                    self.last_frame = frame
+                    self.frames_since_kf = self.cfg.max_frames_between_kf  # re-anchor soon
+                else:
+                    self._on_tracking_failure()
+            else:
+                self.frames_lost += 1
+                if self.frames_lost > self.cfg.recently_lost_frames:
+                    self.state = LOST
+        # LOST: terminal for this map; the Atlas layer (slam/atlas.py)
+        # spawns a fresh map, mirroring CreateMapInAtlas (Tracking.cc:1328)
         if frame.R is not None:
             self.trajectory.append((timestamp, frame.R.copy(), frame.t.copy()))
         self.frame_id += 1
         return self.state, frame.R, frame.t
+
+    def _on_tracking_failure(self):
+        """OK -> RECENTLY_LOST (mature map) or LOST (Tracking.cc:1263-1336)."""
+        if self.store.kf_valid.sum() > self.cfg.mature_map_kfs:
+            self.state = RECENTLY_LOST
+            self.frames_lost = 0
+        else:
+            self.state = LOST
 
     # ------------------------------------------------------------------
     # initialization
@@ -228,6 +292,46 @@ class Tracker:
         self.state = OK
 
     # ------------------------------------------------------------------
+    # stereo / RGB-D initialization (Tracking::StereoInitialization, :1639)
+    # ------------------------------------------------------------------
+    def _stereo_initialization(self, frame: Frame):
+        """Depth makes scale observable: the very first frame with enough
+        valid-depth keypoints seeds the map at metric scale."""
+        cfg = self.cfg
+        store = self.store
+        ok = (
+            np.asarray(frame.feats.mask)
+            & (frame.depth > 0)
+            & (frame.depth < cfg.th_depth)
+        )
+        slots = np.nonzero(ok)[0]
+        if len(slots) < cfg.min_stereo_init_points:
+            return
+        frame.R = np.eye(3, dtype=np.float32)
+        frame.t = np.zeros(3, np.float32)
+        kf = store.add_keyframe(frame.R, frame.t, frame.feats, frame.timestamp,
+                                depth=frame.depth)
+        p_w = self._unproject_depth(frame, slots)
+        desc = np.asarray(frame.feats.desc)[slots]
+        ids = store.add_points(p_w, desc, first_kf=kf)
+        store.assign_observations(kf, slots, ids)
+        obs = np.full(store.n_slots, -1, np.int32)
+        obs[slots] = ids
+        frame.obs = obs
+        self.ref_kf = kf
+        self.last_frame = frame
+        self.velocity = None
+        self.frames_since_kf = 0
+        self.state = OK
+
+    def _unproject_depth(self, frame: Frame, slots):
+        """World positions of keypoints from their depth (UnprojectStereo)."""
+        xn = np.array(self.cam.unproject(frame.feats.xy))  # (N,3), z=1 rays
+        p_c = xn[slots] * frame.depth[slots, None]
+        R, t = frame.R, frame.t
+        return (p_c - t[None, :]) @ R  # R^T (p_c - t), batched
+
+    # ------------------------------------------------------------------
     # per-frame tracking
     # ------------------------------------------------------------------
     def _predicted_pose(self):
@@ -240,17 +344,26 @@ class Tracker:
         return R, t
 
     def _pose_optimize_frame(self, frame, R0, t0):
-        """Pose-only optimization over frame.obs. Returns inlier count."""
+        """Pose-only optimization over frame.obs. Returns inlier count.
+        Observations with stereo/RGB-D depth get the 3-dof depth edge."""
         store = self.store
+        cfg = self.cfg
         obs = frame.obs
         valid = (obs >= 0) & np.asarray(frame.feats.mask)
         pts = store.mp_pos[np.clip(obs, 0, store.m_max - 1)]
         inv_sigma2 = 1.0 / (1.2 ** (2.0 * np.asarray(frame.feats.octave)))
+        if frame.depth is not None and cfg.bf > 0:
+            z = np.where(frame.depth > 0, frame.depth, 0.0).astype(np.float32)
+            wz = np.where(z > 0, cfg.bf / np.maximum(z, 1e-3) ** 2, 0.0)
+            z_j, wz_j = jnp.asarray(z), jnp.asarray(wz.astype(np.float32))
+        else:
+            z_j = wz_j = jnp.zeros(len(obs))
         res = pose_opt.pose_optimize(
             self.cam.kind, self.cam.params,
             jnp.asarray(R0), jnp.asarray(t0),
             jnp.asarray(pts), frame.feats.xy,
             jnp.asarray(inv_sigma2), jnp.asarray(valid),
+            z_meas=z_j, wz=wz_j,
         )
         frame.R = np.asarray(res["R"])
         frame.t = np.asarray(res["t"])
@@ -321,6 +434,81 @@ class Tracker:
         self.n_inliers = n_in
         return n_in >= cfg.min_pose_inliers
 
+    # ------------------------------------------------------------------
+    # relocalization (Tracking::Relocalization, Tracking.cc:3024)
+    # ------------------------------------------------------------------
+    def _relocalize(self, frame) -> bool:
+        """Global-descriptor retrieval -> brute-force matching vs candidate
+        KF map points -> batched PnP RANSAC -> pose optimization. The
+        reference pipeline (:3024-3210) with MLPnP replaced by the vmapped
+        DLT RANSAC (optim/pnp.py)."""
+        from ..optim import pnp
+        from . import retrieval
+
+        cfg = self.cfg
+        store = self.store
+        gd = np.asarray(frame.feats.global_desc)
+        cands = retrieval.detect_relocalization_candidates(store, gd)
+        for c in cands[:5]:
+            kf_obs = store.kf_obs[c]
+            maskB = (kf_obs >= 0) & store.kf_mask[c]
+            if int(maskB.sum()) < cfg.min_reloc_matches:
+                continue
+            idx, _ = search.search_brute_force(
+                frame.feats.desc, frame.feats.mask,
+                jnp.asarray(store.kf_desc[c]), jnp.asarray(maskB),
+                max_dist=cfg.th_low, ratio=0.9,
+            )
+            idx = np.asarray(idx)
+            slots = np.nonzero(idx >= 0)[0]
+            if len(slots) < cfg.min_reloc_matches:
+                continue
+            mp_ids = kf_obs[idx[slots]]
+            ok_mp = store.mp_valid[mp_ids]
+            slots, mp_ids = slots[ok_mp], mp_ids[ok_mp]
+            if len(slots) < cfg.min_reloc_matches:
+                continue
+
+            N = store.n_slots
+            pts = np.zeros((N, 3), np.float32)
+            uv = np.zeros((N, 2), np.float32)
+            inv_s2 = np.ones(N, np.float32)
+            val = np.zeros(N, bool)
+            n = len(slots)
+            pts[:n] = store.mp_pos[mp_ids]
+            uv[:n] = np.asarray(frame.feats.xy)[slots]
+            oct_ = np.asarray(frame.feats.octave)[slots]
+            inv_s2[:n] = 1.0 / (1.2 ** (2.0 * oct_))
+            val[:n] = True
+
+            key = jnp.asarray(
+                np.random.default_rng(self.frame_id).integers(0, 2**31, 2),
+                jnp.uint32,
+            )
+            res = pnp.pnp_ransac(
+                self.cam.kind, self.cam.params,
+                jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(inv_s2),
+                jnp.asarray(val), key, n_hyps=cfg.pnp_hyps,
+            )
+            if int(res["n_inliers"]) < cfg.min_reloc_pnp_inliers:
+                continue
+
+            obs = np.full(N, -1, np.int32)
+            obs[slots] = mp_ids
+            frame.obs = obs
+            n_in = self._pose_optimize_frame(
+                frame, np.asarray(res["R"]), np.asarray(res["t"])
+            )
+            if n_in >= cfg.min_reloc_inliers:
+                self.ref_kf = int(c)
+                self.velocity = None
+                self.n_inliers = n_in
+                self.n_relocalizations += 1
+                return True
+            frame.R = None
+            frame.t = None
+        return False
+
     def _pad_mps(self, mp_ids, cap):
         store = self.store
         mp_ids = mp_ids[:cap]
@@ -390,11 +578,14 @@ class Tracker:
                 frame.R = None
                 frame.t = None
                 return
-        # motion model update
+        # motion model update. R_v must be re-orthonormalized: se3_inverse
+        # is a transpose, so any non-orthonormality of the frame rotations
+        # would be injected into next frame's prediction and compound
+        # geometrically (see lie.orthonormalize)
         R_l, t_l = self.last_frame.R, self.last_frame.t
         Rl_inv, tl_inv = lie.se3_inverse(jnp.asarray(R_l), jnp.asarray(t_l))
         R_v, t_v = lie.se3_mul(jnp.asarray(frame.R), jnp.asarray(frame.t), Rl_inv, tl_inv)
-        self.velocity = (np.asarray(R_v), np.asarray(t_v))
+        self.velocity = (np.asarray(lie.orthonormalize(R_v)), np.asarray(t_v))
 
     # ------------------------------------------------------------------
     # keyframe policy
@@ -415,11 +606,55 @@ class Tracker:
 
     def _create_keyframe(self, frame):
         store = self.store
-        k = store.add_keyframe(frame.R, frame.t, frame.feats, frame.timestamp, obs=frame.obs)
+        if store.n_kf >= store.k_max and not store._free_kf:
+            # capacity full: skip this keyframe; culling frees slots later
+            # (the reference's map grows unboundedly on the heap — here the
+            # fixed-capacity arrays make the budget explicit)
+            self.frames_since_kf = 0
+            return
+        k = store.add_keyframe(frame.R, frame.t, frame.feats, frame.timestamp,
+                               obs=frame.obs, depth=frame.depth)
         self.ref_kf = k
         self.frames_since_kf = 0
+        if frame.depth is not None:
+            self._create_depth_points(frame, k)
         if self.mapper is not None:
             self.mapper.process_keyframe(k)
-            # tracking continues from the (possibly) BA-refined pose
+        if self.loop_closer is not None:
+            # LocalMapping -> LoopClosing handoff (LocalMapping.cc:283);
+            # synchronous in round 1
+            closed = self.loop_closer.process_keyframe(k)
+            if closed:
+                # a correction moved the whole map; restart the motion model
+                self.velocity = None
+        if self.mapper is not None or self.loop_closer is not None:
+            # tracking continues from the (possibly) BA/loop-refined pose
             frame.R = store.kf_R[k].copy()
             frame.t = store.kf_t[k].copy()
+            frame.obs = store.kf_obs[k].copy()
+
+    def _create_depth_points(self, frame, k):
+        """Seed close map points from depth on keyframe insertion
+        (Tracking::CreateNewKeyFrame, Tracking.cc:2546: nearest ~100 close
+        points whose slot has no map point yet)."""
+        cfg = self.cfg
+        store = self.store
+        free = (
+            np.asarray(frame.feats.mask)
+            & (store.kf_obs[k] < 0)
+            & (frame.depth > 0)
+            & (frame.depth < cfg.th_depth)
+        )
+        slots = np.nonzero(free)[0]
+        if len(slots) == 0:
+            return
+        order = np.argsort(frame.depth[slots])
+        slots = slots[order[: cfg.max_depth_points_per_kf]]
+        p_w = self._unproject_depth(frame, slots)
+        desc = np.asarray(frame.feats.desc)[slots]
+        try:
+            ids = store.add_points(p_w, desc, first_kf=k)
+        except RuntimeError:
+            return
+        store.assign_observations(k, slots, ids)
+        frame.obs[slots] = ids
