@@ -1,0 +1,149 @@
+"""Relocalization (PnP RANSAC + recovery state machine) and Atlas multi-map.
+
+Mirrors the reference's Tracking::Relocalization path (Tracking.cc:3024:
+retrieval -> matching -> MLPnP RANSAC -> PoseOptimization) and the
+multi-map Atlas recovery (SURVEY.md §5.3) hermetically.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hfnet_slam_tpu import lie
+from hfnet_slam_tpu.geometry import cameras
+from hfnet_slam_tpu.optim import pnp
+
+
+def make_cam():
+    return cameras.pinhole(450.0, 450.0, 320.0, 240.0, 640, 480)
+
+
+class TestPnP:
+    def _scene(self, n_out=40, N=200, seed=3):
+        rng = np.random.default_rng(seed)
+        cam = make_cam()
+        R_gt = np.asarray(lie.so3_exp(jnp.asarray([0.3, -0.2, 0.5])))
+        t_gt = np.array([0.4, -0.3, 0.8], np.float32)
+        pts = rng.uniform(-4, 4, (N, 3)).astype(np.float32) + np.array([0, 0, 8], np.float32)
+        pts_w = (pts - t_gt) @ R_gt  # world points with pc = R pts_w + t = pts
+        uv = np.array(cam.project(jnp.asarray(pts)))
+        uv[:n_out] += rng.uniform(30, 90, (n_out, 2))  # gross outliers
+        return cam, R_gt, t_gt, pts_w.astype(np.float32), uv.astype(np.float32), n_out
+
+    def test_recovers_pose_with_outliers(self):
+        cam, R_gt, t_gt, pts_w, uv, n_out = self._scene()
+        N = len(pts_w)
+        res = pnp.pnp_ransac(
+            cam.kind, cam.params, jnp.asarray(pts_w), jnp.asarray(uv),
+            jnp.ones(N), jnp.ones(N, bool), jnp.asarray([5, 9], jnp.uint32),
+            n_hyps=256,
+        )
+        assert int(res["n_inliers"]) >= N - n_out - 10
+        inl = np.asarray(res["inliers"])
+        assert inl[:n_out].sum() <= 2
+        assert np.linalg.norm(np.asarray(res["R"]) - R_gt) < 0.05
+        assert np.linalg.norm(np.asarray(res["t"]) - t_gt) < 0.1
+
+    def test_respects_valid_mask(self):
+        cam, R_gt, t_gt, pts_w, uv, n_out = self._scene(n_out=0)
+        N = len(pts_w)
+        valid = np.zeros(N, bool)
+        valid[: N // 2] = True
+        res = pnp.pnp_ransac(
+            cam.kind, cam.params, jnp.asarray(pts_w), jnp.asarray(uv),
+            jnp.ones(N), jnp.asarray(valid), jnp.asarray([1, 1], jnp.uint32),
+            n_hyps=128,
+        )
+        inl = np.asarray(res["inliers"])
+        assert not inl[N // 2:].any()
+        assert int(res["n_inliers"]) >= N // 2 - 5
+
+
+class TestAtlas:
+    def test_create_and_reset(self):
+        from hfnet_slam_tpu.slam.atlas import Atlas
+
+        atlas = Atlas(16, 64, 8, 8, 8)
+        m0 = atlas.active
+        m0.kf_valid[:5] = True
+        m1 = atlas.create_new_map()
+        assert atlas.n_maps() == 2 and atlas.active is m1
+        assert atlas.maps[0].kf_valid.sum() == 5  # stored map untouched
+        atlas.reset_active_map()
+        assert atlas.n_maps() == 2
+        assert atlas.active.kf_valid.sum() == 0
+
+    def test_save_load_roundtrip(self, tmp_path):
+        from hfnet_slam_tpu.slam.atlas import Atlas
+
+        atlas = Atlas(16, 64, 8, 8, 8)
+        atlas.active.kf_valid[:3] = True
+        atlas.active.kf_gdesc[:3] = 0.5
+        atlas.create_new_map()
+        atlas.active.kf_valid[:1] = True
+        p = tmp_path / "atlas"
+        atlas.save(p)
+        a2 = Atlas.load(p)
+        assert a2.n_maps() == 2 and a2.active_idx == 1
+        assert a2.maps[0].kf_valid.sum() == 3
+        np.testing.assert_allclose(a2.maps[0].kf_gdesc[:3], 0.5)
+
+
+class TestRelocalizationE2E:
+    """Track a scene, blind the extractor for a stretch (features drop out),
+    then verify the tracker relocalizes into the same map instead of dying
+    (OK -> RECENTLY_LOST -> OK, Tracking.cc:1263-1316)."""
+
+    def test_recover_after_blackout(self):
+        from hfnet_slam_tpu.models.fake import FakeExtractor, SyntheticWorld
+        from hfnet_slam_tpu.slam.local_mapping import MapperConfig
+        from hfnet_slam_tpu.slam.system import SLAMSystem, SystemConfig
+        from hfnet_slam_tpu.slam.tracking import OK, RECENTLY_LOST, TrackerConfig
+        from tests.test_slam import browse_trajectory
+
+        cam = make_cam()
+        world = SyntheticWorld.cloud(seed=5, n_landmarks=1400, extent=16.0,
+                                     center=(0, 0, 10.0), desc_dim=64)
+        ext = FakeExtractor(world, cam, pad_to=512, noise_px=0.3,
+                            desc_noise=0.03, max_landmarks_per_frame=480, seed=7)
+        cfg = SystemConfig(
+            k_max=128, m_max=8192, n_slots=512, desc_dim=64, gdesc_dim=64,
+            loop_closing=False,
+            tracker=TrackerConfig(local_mp_cap=2048,
+                                  min_init_med_parallax_deg=4.0,
+                                  mature_map_kfs=3,
+                                  min_reloc_inliers=30),
+            mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=2048, ba_edge_cap=8192,
+                                tri_neighbors=5),
+        )
+        sys_ = SLAMSystem(cam, ext, cfg)
+        gt = browse_trajectory(90)
+        states = []
+        import jax.numpy as jnp_
+        from hfnet_slam_tpu.models.extractor import Features
+
+        def empty_feats():
+            N, D = 512, 64
+            return Features(
+                xy=jnp_.zeros((N, 2)), score=jnp_.zeros(N),
+                octave=jnp_.zeros(N, jnp_.int32), desc=jnp_.zeros((N, D)),
+                mask=jnp_.zeros(N, bool), global_desc=jnp_.zeros(64),
+            )
+
+        saw_recently_lost = False
+        recovered = False
+        for i, (R, t) in enumerate(gt):
+            if 55 <= i < 62:
+                feats = empty_feats()  # blackout: no features at all
+            else:
+                feats = ext(R, t)
+            st, Re, te = sys_.track_features(feats, 0.05 * i)
+            states.append(st)
+            if st == RECENTLY_LOST:
+                saw_recently_lost = True
+            if saw_recently_lost and st == OK:
+                recovered = True
+        assert saw_recently_lost, f"states: {set(states)}"
+        assert recovered, "tracker did not relocalize after blackout"
+        assert sys_.tracker.n_relocalizations >= 1
+        assert sys_.atlas.n_maps() == 1  # same map, no new-map fallback
