@@ -37,7 +37,11 @@ from . import factors
 
 
 class BAProblem(NamedTuple):
-    """Fixed-shape BA problem. K keyframes, M points, E edges (padded)."""
+    """Fixed-shape BA problem. K keyframes, M points, E edges (padded).
+
+    Edges with wz > 0 are stereo/RGB-D observations: the residual gains a
+    pixel-equivalent depth row (factors.reproj_depth_residual), replacing
+    the reference's (u, v, uR) stereo edges."""
 
     poses_R: jnp.ndarray     # (K,3,3) world->cam
     poses_t: jnp.ndarray     # (K,3)
@@ -48,18 +52,31 @@ class BAProblem(NamedTuple):
     uv: jnp.ndarray          # (E,2)
     inv_sigma2: jnp.ndarray  # (E,)
     valid: jnp.ndarray       # (E,) bool
+    z_meas: jnp.ndarray = None   # (E,) measured depth (0 = mono edge)
+    wz: jnp.ndarray = None       # (E,) depth-row weight bf/z^2 (0 = mono)
+
+
+def with_depth_defaults(prob: BAProblem) -> BAProblem:
+    """Fill absent stereo fields with mono-edge zeros."""
+    E = prob.uv.shape[0]
+    z = prob.z_meas if prob.z_meas is not None else jnp.zeros(E)
+    w = prob.wz if prob.wz is not None else jnp.zeros(E)
+    return prob._replace(z_meas=z, wz=w)
 
 
 def _edge_terms(cam_kind, cam_params, prob: BAProblem, w_extra):
-    """Per-edge residuals, Jacobians and weights."""
+    """Per-edge residuals (3-row: reprojection + optional depth),
+    Jacobians and weights."""
     R = prob.poses_R[prob.kf_idx]
     t = prob.poses_t[prob.kf_idx]
     p = prob.points[prob.pt_idx]
 
-    def one(R, t, p, uv):
-        return factors.reproj_residual(cam_kind, cam_params, R, t, p, uv)
+    def one(R, t, p, uv, z, wz):
+        return factors.reproj_depth_residual(
+            cam_kind, cam_params, R, t, p, uv, z, wz
+        )
 
-    r, Jc, Jp, depth = jax.vmap(one)(R, t, p, prob.uv)
+    r, Jc, Jp, depth = jax.vmap(one)(R, t, p, prob.uv, prob.z_meas, prob.wz)
     w = w_extra * prob.inv_sigma2 * prob.valid * (depth > 0)
     return r, Jc, Jp, w, depth
 
@@ -80,9 +97,11 @@ def ba_iterate(cam_kind, cam_params, prob: BAProblem, n_iters: int, robust: bool
     region — are load-bearing: without them the near-gauge directions of
     monocular BA random-walk under f32 round-off and the map warps.
     """
+    prob = with_depth_defaults(prob)
     K = prob.poses_R.shape[0]
     M = prob.points.shape[0]
-    delta2 = chi2_th
+    # per-edge gate: stereo/depth edges are 3-dof (CHI2_STEREO = 7.815)
+    delta2 = jnp.where(prob.wz > 0, factors.CHI2_STEREO, chi2_th)
     f64 = prob.poses_R.dtype == jnp.float64
     lam_min = 1e-7 if f64 else 1e-4
     # step cap in scene units; map scale is median-depth-normalized to ~1
@@ -164,7 +183,7 @@ def ba_iterate(cam_kind, cam_params, prob: BAProblem, n_iters: int, robust: bool
         dp = dp * jnp.minimum(1.0, max_step / jnp.maximum(pstep, 1e-12))[:, None]
 
         R_new, t_new = jax.vmap(lie.se3_retract)(poses_R, poses_t, dc)
-        R_new = R_new.astype(poses_R.dtype)
+        R_new = lie.orthonormalize(R_new).astype(poses_R.dtype)
         t_new = t_new.astype(poses_t.dtype)
         pts_new = points + dp
 
@@ -194,9 +213,11 @@ def ba_iterate(cam_kind, cam_params, prob: BAProblem, n_iters: int, robust: bool
 @partial(jax.jit, static_argnames=("cam_kind",))
 def classify_edges(cam_kind, cam_params, prob: BAProblem, chi2_th: float, base_valid):
     """Re-classify edges against the base validity set (outlier recycling)."""
+    prob = with_depth_defaults(prob)
     r, _, _, _, depth = _edge_terms(cam_kind, cam_params, prob, 1.0)
     chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
-    return base_valid & (chi2 <= chi2_th) & (depth > 0)
+    th = jnp.where(prob.wz > 0, factors.CHI2_STEREO, chi2_th)
+    return base_valid & (chi2 <= th) & (depth > 0)
 
 
 def bundle_adjust(
@@ -210,6 +231,7 @@ def bundle_adjust(
     """Full BA schedule: LM rounds with outlier re-classification between
     them (mirrors LocalBundleAdjustment's 5-iteration probe + 10-iteration
     main solve, Optimizer.cc:1350-1365, and its final outlier sweep)."""
+    prob = with_depth_defaults(prob)
     base_valid = prob.valid
     for n_iters, robust in rounds:
         prob, _ = ba_iterate(cam_kind, cam_params, prob, n_iters, robust, chi2_th)

@@ -40,3 +40,28 @@ def reproj_residual(cam_kind, cam_params, R, t, p_w, uv):
     J_pose = jnp.concatenate([Jproj, -Jproj @ lie.hat(pc)], axis=1)  # (2,6)
     J_point = Jproj @ R
     return r, J_pose, J_point, pc[2]
+
+
+def reproj_depth_residual(cam_kind, cam_params, R, t, p_w, uv, z_meas, w_z):
+    """Reprojection + depth residual: r = [du, dv, w_z (z - z_meas)].
+
+    The TPU-native replacement for the reference's 3-d stereo edge
+    EdgeStereoSE3ProjectXYZ with error (u, v, uR) (include/OptimizableTypes.h,
+    src/Optimizer.cc stereo branches): a right-image column uR = u - bf/z
+    carries exactly one extra datum — the depth — so the residual here uses
+    z directly with the pixel-equivalent weight w_z = bf / z_meas^2
+    (d uR = bf/z^2 dz), keeping chi2 thresholds in pixel units
+    (CHI2_STEREO = 7.815 for 3 dof). w_z = 0 turns the row off (mono edge).
+
+    Returns r (3,), J_pose (3,6), J_point (3,3), depth.
+    """
+    pc = R @ p_w + t
+    r2 = cameras.project(cam_kind, cam_params, pc) - uv
+    rz = w_z * (pc[2] - z_meas)
+    r = jnp.concatenate([r2, rz[None]])
+    Jproj = cameras.project_jac(cam_kind, cam_params, pc)  # (2,3)
+    Jz = w_z * jnp.array([0.0, 0.0, 1.0])                  # d rz / d pc
+    Jpc = jnp.concatenate([Jproj, Jz[None]], axis=0)       # (3,3)
+    J_pose = jnp.concatenate([Jpc, -Jpc @ lie.hat(pc)], axis=1)  # (3,6)
+    J_point = Jpc @ R
+    return r, J_pose, J_point, pc[2]

@@ -35,6 +35,8 @@ def pose_optimize(
     inv_sigma2,
     valid,
     chi2_th: float = factors.CHI2_MONO,
+    z_meas=None,
+    wz=None,
 ):
     """Optimize Tcw given fixed 3-D points and their observations.
 
@@ -45,14 +47,23 @@ def pose_optimize(
       inv_sigma2: (N,) information scale (1/1.2^(2*octave) per the
         reference's per-level sigma).
       valid: (N,) bool.
+      z_meas/wz: optional per-observation depth + pixel-equivalent weight
+        (stereo/RGB-D points get the 3-dof edge, chi2 7.815 like the
+        reference's deltaStereo branch, Optimizer.cc:871-872).
     Returns dict(R, t, inlier (N,), n_inliers).
     """
-    delta2 = chi2_th  # Huber delta^2 = chi2 threshold (deltaMono = sqrt(5.991))
+    if z_meas is None:
+        z_meas = jnp.zeros(points_w.shape[0])
+    if wz is None:
+        wz = jnp.zeros(points_w.shape[0])
+    # per-edge Huber delta^2 = chi2 threshold (deltaMono/deltaStereo)
+    delta2 = jnp.where(wz > 0, factors.CHI2_STEREO, chi2_th)
 
     def residuals(R, t):
         r, Jp, _, depth = jax.vmap(
-            lambda p, u: factors.reproj_residual(cam_kind, cam_params, R, t, p, u)
-        )(points_w, uv)
+            lambda p, u, z, w: factors.reproj_depth_residual(
+                cam_kind, cam_params, R, t, p, u, z, w)
+        )(points_w, uv, z_meas, wz)
         return r, Jp, depth
 
     def chi2_of(r):
@@ -88,10 +99,11 @@ def pose_optimize(
         (R, t, _), _ = jax.lax.scan(
             gn_step, (R, t, jnp.asarray(1e-4, R.dtype)), None, length=N_ITERS
         )
+        R = lie.orthonormalize(R).astype(R.dtype)  # see lie.orthonormalize
         # re-classify: outlier recycling — recompute from the base valid set
         r, _, depth = residuals(R, t)
         chi2 = chi2_of(r)
-        inlier = valid & (chi2 <= chi2_th) & (depth > 0)
+        inlier = valid & (chi2 <= delta2) & (depth > 0)
         return (R, t, inlier.astype(jnp.float32)), None
 
     inlier0 = valid.astype(jnp.float32)
