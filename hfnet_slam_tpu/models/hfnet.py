@@ -224,3 +224,49 @@ def forward(params, image, with_global=True, valid_mask=None):
             gmask = gmask[:, : global_feat.shape[1], : global_feat.shape[2]]
         out["global_desc"] = global_head(params, global_feat, gmask)
     return out
+
+
+# ---------------------------------------------------------------------------
+# parameter persistence (the reference ships TF/ONNX checkpoints; our native
+# format is a flat .npz keyed by tree path — conversion from the public TF
+# checkpoint is offline tooling, see tools/convert_hfnet_weights.py)
+# ---------------------------------------------------------------------------
+
+def _flatten(tree, prefix=""):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, f"{prefix}{k}/")
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from _flatten(v, f"{prefix}{i}/")
+    else:
+        yield prefix[:-1], tree
+
+
+def save_params(path, params):
+    import numpy as np
+
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in _flatten(params)})
+
+
+def load_params(path):
+    """Load a .npz parameter tree written by save_params. The structure is
+    reconstructed from the template produced by init_params (all HF-Net
+    variants share the fixed architecture, hf_net.py:13-52)."""
+    import numpy as np
+
+    z = np.load(path)
+    template = init_params(jax.random.PRNGKey(0))
+
+    def rebuild(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: rebuild(v, f"{prefix}{k}/") for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return [rebuild(v, f"{prefix}{i}/") for i, v in enumerate(tree)]
+        key = prefix[:-1]
+        arr = jnp.asarray(z[key])
+        if arr.shape != tree.shape:
+            raise ValueError(f"{key}: shape {arr.shape} != expected {tree.shape}")
+        return arr
+
+    return rebuild(template)

@@ -50,11 +50,13 @@ def test_dist_lm_step_matches_geometry():
         np.ones(E, np.float32), np.ones(E, bool))
     mesh = Mesh(np.array(jax.devices()), ("ba",))
 
-    err0 = None
-    pr, pt_, pp = jnp.asarray(prob.poses_R), jnp.asarray(prob.poses_t), prob.points
+    import functools
+
+    step = jax.jit(functools.partial(
+        dist_ba.dist_lm_step, cam.kind, cam.params, mesh=mesh, lam=1e-3))
     cur = prob
     for it in range(8):
-        pr, pt_, pp = dist_ba.dist_lm_step(cam.kind, cam.params, cur, mesh, lam=1e-3)
+        pr, pt_, pp = step(cur)
         cur = cur._replace(poses_R=pr, poses_t=pt_, points=pp)
     # gather points back to global order and compare to ground truth
     pp = np.asarray(pp)
