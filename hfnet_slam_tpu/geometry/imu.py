@@ -37,8 +37,8 @@ class ImuCalib(NamedTuple):
     sigma_a: jnp.ndarray   # acc noise
     sigma_gw: jnp.ndarray  # gyro random walk
     sigma_aw: jnp.ndarray  # acc random walk
-    Tbc_R: jnp.ndarray     # body->camera rotation (3,3)
-    Tbc_t: jnp.ndarray     # body->camera translation (3,)
+    Tbc_R: jnp.ndarray     # camera-to-body rotation (3,3): x_b = R x_c + t
+    Tbc_t: jnp.ndarray     # camera-to-body translation (3,)
 
 
 def default_calib(sigma_g=1.7e-4, sigma_a=2.0e-3, sigma_gw=1.9e-5,

@@ -48,6 +48,15 @@ class MapStore:
         self.loop_edges: list[tuple[int, int]] = []
         # stereo/RGB-D per-keypoint depth (mvDepth analogue; 0 = none)
         self.kf_depth = np.zeros((K, N), np.float32)
+        # visual-inertial per-KF state (KeyFrame mVw/mImuBias analogue)
+        self.kf_vel = np.zeros((K, 3), np.float32)
+        self.kf_bg = np.zeros((K, 3), np.float32)
+        self.kf_ba = np.zeros((K, 3), np.float32)
+        self.kf_prev = np.full(K, -1, np.int32)  # IMU chain (mPrevKF)
+        # map-level inertial flags (Map::isImuInitialized / VIBA1 / VIBA2)
+        self.imu_initialized = False
+        self.viba1 = False
+        self.viba2 = False
 
         self.mp_pos = np.zeros((M, 3), np.float32)
         self.mp_desc = np.zeros((M, D), np.float32)
@@ -224,6 +233,7 @@ class MapStore:
             free_mp=np.asarray(self._free_mp, np.int64),
             free_kf=np.asarray(self._free_kf, np.int64),
             loop_edges=np.asarray(self.loop_edges, np.int64).reshape(-1, 2),
+            imu_flags=np.asarray([self.imu_initialized, self.viba1, self.viba2]),
             caps=np.asarray([self.k_max, self.m_max, self.n_slots, self.desc_dim, self.gdesc_dim]),
         )
 
@@ -241,13 +251,15 @@ class MapStore:
         m._free_kf = [int(i) for i in z["free_kf"]]
         if "loop_edges" in z:
             m.loop_edges = [(int(a), int(b)) for a, b in z["loop_edges"]]
+        if "imu_flags" in z:
+            m.imu_initialized, m.viba1, m.viba2 = (bool(x) for x in z["imu_flags"])
         return m
 
 
 _ARRAY_FIELDS = [
     "kf_R", "kf_t", "kf_valid", "kf_timestamp", "kf_xy", "kf_desc",
     "kf_score", "kf_octave", "kf_mask", "kf_gdesc", "kf_obs", "kf_parent",
-    "kf_depth",
+    "kf_depth", "kf_vel", "kf_bg", "kf_ba", "kf_prev",
     "mp_pos", "mp_desc", "mp_valid", "mp_visible", "mp_found",
     "mp_first_kf", "mp_obs_count", "covis",
 ]

@@ -26,6 +26,7 @@ from .local_mapping import LocalMapper, MapperConfig
 from .loop_closing import LoopCloser, LoopCloserConfig
 from .map import MapStore
 from .tracking import LOST, Tracker, TrackerConfig
+from .vi import VIConfig, VIManager
 
 
 @dataclasses.dataclass
@@ -45,6 +46,7 @@ class SystemConfig:
     tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
     mapper: MapperConfig = dataclasses.field(default_factory=MapperConfig)
     loop: LoopCloserConfig = dataclasses.field(default_factory=LoopCloserConfig)
+    vi: VIConfig = dataclasses.field(default_factory=VIConfig)
 
 
 class SLAMSystem:
@@ -52,10 +54,14 @@ class SLAMSystem:
     real HF-Net extractor (models/extractor.py) or a test fake
     (models/fake.py); this is the BaseModel seam SURVEY.md §4 calls for."""
 
-    def __init__(self, cam: cameras.Camera, extractor, cfg: SystemConfig = None):
+    def __init__(self, cam: cameras.Camera, extractor, cfg: SystemConfig = None,
+                 imu_calib=None):
+        """imu_calib: geometry.imu.ImuCalib enables visual-inertial mode
+        (the reference's IMU_MONOCULAR / IMU_STEREO sensor variants)."""
         self.cam = cam
         self.extractor = extractor
         self.cfg = cfg or SystemConfig()
+        self.imu_calib = imu_calib
         c = self.cfg
         self.atlas = Atlas(c.k_max, c.m_max, c.n_slots, c.desc_dim, c.gdesc_dim)
         # depth-edge weight base bf = fx * b (stereo rig or RGB-D virtual
@@ -68,8 +74,10 @@ class SLAMSystem:
             LoopCloser(cam, self.store, c.loop, mapper=self.mapper)
             if c.loop_closing else None
         )
+        self.vi = (VIManager(imu_calib, self.store, c.vi)
+                   if imu_calib is not None else None)
         self.tracker = Tracker(cam, self.store, c.tracker, mapper=self.mapper,
-                               loop_closer=self.loop_closer)
+                               loop_closer=self.loop_closer, vi=self.vi)
 
     @property
     def store(self) -> MapStore:
@@ -105,9 +113,15 @@ class SLAMSystem:
         )
         return self.track_features(feats, timestamp, depth=np.asarray(depth))
 
-    def track_features(self, feats, timestamp: float, depth=None):
+    def track_monocular_inertial(self, image, timestamp: float, imu):
+        """Mono-inertial frame (System::TrackMonocular with vImuMeas):
+        imu = (N,7) [ax ay az wx wy wz dt] covering (t_prev, t]."""
+        feats = self.extractor(image)
+        return self.track_features(feats, timestamp, imu=imu)
+
+    def track_features(self, feats, timestamp: float, depth=None, imu=None):
         """Feed pre-extracted features (testing / offline pipelines)."""
-        out = self.tracker.track(feats, timestamp, depth=depth)
+        out = self.tracker.track(feats, timestamp, depth=depth, imu=imu)
         if out[0] == LOST:
             self._handle_lost()
         return out
@@ -134,6 +148,8 @@ class SLAMSystem:
             self.loop_closer.store = store
             self.loop_closer.consistent_hits = 0
             self.loop_closer.last_candidate = -1
+        if self.vi is not None:
+            self.vi.store = store
 
     # ------------------------------------------------------------------
     @property

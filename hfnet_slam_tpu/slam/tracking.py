@@ -92,6 +92,7 @@ class Frame:
     t: Optional[np.ndarray] = None
     obs: Optional[np.ndarray] = None  # (N_slots,) mp id or -1
     depth: Optional[np.ndarray] = None  # (N_slots,) stereo/RGBD depth, 0=none
+    v: Optional[np.ndarray] = None      # body velocity (VI mode)
 
     @property
     def n_feats(self):
@@ -100,12 +101,15 @@ class Frame:
 
 class Tracker:
     def __init__(self, cam: cameras.Camera, store: MapStore, cfg: TrackerConfig = None,
-                 mapper=None, loop_closer=None, rng_seed: int = 0):
+                 mapper=None, loop_closer=None, vi=None, rng_seed: int = 0):
         self.cam = cam
         self.store = store
         self.cfg = cfg or TrackerConfig()
         self.mapper = mapper  # local_mapping.LocalMapper, set by System
         self.loop_closer = loop_closer  # loop_closing.LoopCloser or None
+        self.vi = vi  # slam.vi.VIManager or None (visual-inertial mode)
+        self._imu_since_kf: list = []  # raw (N,7) blocks since last KF
+        self._last_kf = -1
         self.state = NOT_INITIALIZED
         self.last_frame: Optional[Frame] = None
         self.init_ref: Optional[Frame] = None
@@ -132,14 +136,25 @@ class Tracker:
         self.frames_since_kf = 0
         self.frames_lost = 0
         self.n_inliers = 0
+        self._imu_since_kf = []
+        self._last_kf = -1
+        if self.vi is not None:
+            self.vi.store = store
+            self.vi.kf_pre.clear()
+            self.vi.first_kf_ts = None
+            self.vi.stage = 0
 
     # ------------------------------------------------------------------
-    def track(self, feats, timestamp, depth=None):
+    def track(self, feats, timestamp, depth=None, imu=None):
         """Main entry (GrabImage{Monocular,Stereo,RGBD} + Track analogue).
         depth: optional (N_slots,) per-keypoint depth (stereo/RGB-D).
+        imu: optional (N,7) [ax ay az wx wy wz dt] measurements covering
+        (t_prev, t] — the GrabImuData queue contents (Tracking.cc:921).
         Returns (state, R, t)."""
         frame = Frame(feats=feats, timestamp=timestamp,
                       depth=None if depth is None else np.asarray(depth))
+        if self.vi is not None and imu is not None and len(imu):
+            self._imu_since_kf.append(np.asarray(imu, np.float32))
         if self.state == NOT_INITIALIZED:
             if frame.depth is not None:
                 self._stereo_initialization(frame)
@@ -200,6 +215,7 @@ class Tracker:
         cfg = self.cfg
         if self.init_ref is None or self.init_ref.n_feats < cfg.min_init_matches:
             self.init_ref = frame
+            self._imu_since_kf = []  # buffer spans init_ref -> current
             return
 
         ref = self.init_ref
@@ -212,6 +228,7 @@ class Tracker:
         n_matches = int((idx >= 0).sum())
         if n_matches < cfg.min_init_matches:
             self.init_ref = frame
+            self._imu_since_kf = []
             return
 
         # build padded match arrays in normalized coords
@@ -289,6 +306,16 @@ class Tracker:
         self.last_frame = frame
         self.velocity = None
         self.frames_since_kf = 0
+        if self.vi is not None:
+            # seed the IMU chain across the init pair (Tracking.cc's
+            # mpImuPreintegratedFromLastKF handoff at initialization)
+            meas = (np.concatenate(self._imu_since_kf, axis=0)
+                    if self._imu_since_kf else np.zeros((0, 7), np.float32))
+            pre = self.vi.integrate(meas)
+            self.vi.first_kf_ts = float(ref.timestamp)
+            self.vi.on_keyframe(kf1, kf0, pre)
+            self._imu_since_kf = []
+            self._last_kf = kf1
         self.state = OK
 
     # ------------------------------------------------------------------
@@ -322,6 +349,10 @@ class Tracker:
         self.last_frame = frame
         self.velocity = None
         self.frames_since_kf = 0
+        if self.vi is not None:
+            self.vi.first_kf_ts = float(frame.timestamp)
+            self._imu_since_kf = []
+            self._last_kf = kf
         self.state = OK
 
     def _unproject_depth(self, frame: Frame, slots):
@@ -334,7 +365,28 @@ class Tracker:
     # ------------------------------------------------------------------
     # per-frame tracking
     # ------------------------------------------------------------------
+    def _vi_active(self):
+        return (self.vi is not None and self.store.imu_initialized
+                and self._last_kf >= 0 and self.store.kf_valid[self._last_kf])
+
+    def _pre_from_kf(self):
+        """Preintegration last-KF -> now from the accumulated raw blocks
+        (mpImuPreintegratedFromLastKF, Tracking.cc:986-1032)."""
+        if self._imu_since_kf:
+            meas = np.concatenate(self._imu_since_kf, axis=0)
+        else:
+            meas = np.zeros((0, 7), np.float32)
+        bg = self.store.kf_bg[self._last_kf] if self._last_kf >= 0 else None
+        ba = self.store.kf_ba[self._last_kf] if self._last_kf >= 0 else None
+        return self.vi.integrate(meas, bg, ba)
+
     def _predicted_pose(self):
+        if self._vi_active():
+            # PredictStateIMU from the last keyframe (Tracking.cc:1041)
+            pre = self._pre_from_kf()
+            R_wb, p_wb, v = self.vi.predict(self._last_kf, pre)
+            R, t = self.vi.body_to_cam(R_wb, p_wb)
+            return R.astype(np.float32), t.astype(np.float32)
         R_l, t_l = self.last_frame.R, self.last_frame.t
         if self.velocity is None:
             return R_l.copy(), t_l.copy()
@@ -345,13 +397,17 @@ class Tracker:
 
     def _pose_optimize_frame(self, frame, R0, t0):
         """Pose-only optimization over frame.obs. Returns inlier count.
-        Observations with stereo/RGB-D depth get the 3-dof depth edge."""
+        Observations with stereo/RGB-D depth get the 3-dof depth edge;
+        with an initialized IMU the 15-d visual-inertial optimizer runs
+        instead (PoseInertialOptimizationLastKeyFrame, Optimizer.cc:4491)."""
         store = self.store
         cfg = self.cfg
         obs = frame.obs
         valid = (obs >= 0) & np.asarray(frame.feats.mask)
         pts = store.mp_pos[np.clip(obs, 0, store.m_max - 1)]
         inv_sigma2 = 1.0 / (1.2 ** (2.0 * np.asarray(frame.feats.octave)))
+        if self._vi_active():
+            return self._pose_optimize_frame_vi(frame, R0, t0, pts, inv_sigma2, valid)
         if frame.depth is not None and cfg.bf > 0:
             z = np.where(frame.depth > 0, frame.depth, 0.0).astype(np.float32)
             wz = np.where(z > 0, cfg.bf / np.maximum(z, 1e-3) ** 2, 0.0)
@@ -369,6 +425,34 @@ class Tracker:
         frame.t = np.asarray(res["t"])
         inlier = np.asarray(res["inlier"])
         frame.obs = np.where(inlier, obs, -1).astype(np.int32)
+        return int(inlier.sum())
+
+    def _pose_optimize_frame_vi(self, frame, R0, t0, pts, inv_sigma2, valid):
+        """15-d state [R_wb p_wb v bg ba] with visual + inertial + bias-RW
+        factors, anchored at the last keyframe's state."""
+        from ..optim import inertial as VIOPT
+
+        store = self.store
+        vi = self.vi
+        k = self._last_kf
+        pre = self._pre_from_kf()
+        R1, p1 = vi.cam_to_body(store.kf_R[k], store.kf_t[k])
+        R2, p2 = vi.cam_to_body(R0, t0)
+        v2 = frame.v if frame.v is not None else store.kf_vel[k]
+        res = VIOPT.pose_inertial_optimize(
+            self.cam.kind, self.cam.params,
+            vi.calib.Tbc_R, vi.calib.Tbc_t,
+            jnp.asarray(R1), jnp.asarray(p1), jnp.asarray(store.kf_vel[k]),
+            jnp.asarray(store.kf_bg[k]), jnp.asarray(store.kf_ba[k]),
+            pre,
+            jnp.asarray(R2), jnp.asarray(p2), jnp.asarray(v2),
+            jnp.asarray(pts), frame.feats.xy,
+            jnp.asarray(inv_sigma2), jnp.asarray(valid),
+        )
+        frame.R, frame.t = vi.body_to_cam(np.asarray(res["R"]), np.asarray(res["p"]))
+        frame.v = np.asarray(res["v"])
+        inlier = np.asarray(res["inlier"])
+        frame.obs = np.where(inlier, frame.obs, -1).astype(np.int32)
         return int(inlier.sum())
 
     def _track_frame(self, frame) -> bool:
@@ -618,6 +702,15 @@ class Tracker:
         self.frames_since_kf = 0
         if frame.depth is not None:
             self._create_depth_points(frame, k)
+        if self.vi is not None:
+            if self._last_kf >= 0:
+                # preintegrate with the previous KF's bias BEFORE switching
+                pre = self._pre_from_kf()
+                self.vi.on_keyframe(k, self._last_kf, pre)
+            if frame.v is not None:
+                store.kf_vel[k] = frame.v
+            self._imu_since_kf = []
+            self._last_kf = k
         if self.mapper is not None:
             self.mapper.process_keyframe(k)
         if self.loop_closer is not None:
@@ -627,7 +720,13 @@ class Tracker:
             if closed:
                 # a correction moved the whole map; restart the motion model
                 self.velocity = None
-        if self.mapper is not None or self.loop_closer is not None:
+        if self.vi is not None:
+            # staged IMU initialization (LocalMapping.cc:200-275); a stage
+            # rescales/rotates the whole map, so refresh the frame state
+            if self.vi.maybe_initialize(frame.timestamp):
+                frame.v = store.kf_vel[k].copy()
+                self.velocity = None
+        if self.mapper is not None or self.loop_closer is not None or self.vi is not None:
             # tracking continues from the (possibly) BA/loop-refined pose
             frame.R = store.kf_R[k].copy()
             frame.t = store.kf_t[k].copy()

@@ -1,0 +1,232 @@
+"""Visual-inertial manager: IMU plumbing, staged initialization, alignment.
+
+TPU-native re-design of the reference's IMU integration spread across
+Tracking (PreintegrateIMU/PredictStateIMU, /root/reference/src/Tracking.cc:
+927-1089) and LocalMapping's staged initialization (InitializeIMU ->
+InertialOptimization -> ApplyScaledRotation -> FullInertialBA,
+src/LocalMapping.cc:1359-1613, staged at init / VIBA1@5s / VIBA2@15s,
+:200-275).
+
+Round-1 staging: the init and refinement stages run the whitened
+inertial-only solver (optim/inertial.inertial_init) with poses fixed —
+gravity direction, scale, biases and velocities; the full 15-dof
+visual-inertial BA (FullInertialBA / LocalInertialBA) is the next
+milestone and its seams (per-KF chain preintegrations, bias storage) are
+already in place here.
+
+The body frame: camera-in-body extrinsic T_bc comes from ImuCalib; all
+MapStore poses remain world->camera; this module converts at the boundary.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import lie
+from ..geometry import imu as IMU
+from ..optim import inertial as VI
+from .map import MapStore
+
+
+@dataclasses.dataclass
+class VIConfig:
+    # staging times (LocalMapping.cc:200-275)
+    t_init: float = 2.0        # first init attempt after this much KF time
+    t_viba1: float = 5.0
+    t_viba2: float = 15.0
+    prior_g_init: float = 1e2
+    prior_a_init: float = 1e10  # pin acc bias at first init
+    prior_g_viba1: float = 1.0
+    prior_a_viba1: float = 1e5
+    min_kfs_for_init: int = 8
+    min_scale: float = 1e-1    # abort gate (LocalMapping.cc:1457)
+    chain_cap: int = 64        # max KFs in one init problem
+    meas_cap: int = 256        # padded measurements per preintegration call
+
+
+class VIManager:
+    """Owns the IMU calib, per-keyframe chain preintegrations, and the
+    staged initialization state for the active map."""
+
+    def __init__(self, calib: IMU.ImuCalib, store: MapStore, cfg: VIConfig = None):
+        self.calib = calib
+        self.store = store
+        self.cfg = cfg or VIConfig()
+        # per-KF preintegration from its chain predecessor (mpImuPreintegrated)
+        self.kf_pre: dict[int, IMU.Preintegrated] = {}
+        self.first_kf_ts: float = None
+        self.stage = 0  # 0 = visual only, 1 = initialized, 2 = viba1, 3 = viba2
+
+    # ------------------------------------------------------------------
+    # frame-level helpers
+    # ------------------------------------------------------------------
+    def integrate(self, meas: np.ndarray, bg=None, ba=None) -> IMU.Preintegrated:
+        """Preintegrate an (N,7) [ax ay az wx wy wz dt] block (padded to
+        cfg.meas_cap so all calls share one compiled scan)."""
+        cap = max(self.cfg.meas_cap, len(meas))
+        m = np.zeros((cap, 7), np.float32)
+        mask = np.zeros(cap, bool)
+        m[: len(meas)] = meas
+        mask[: len(meas)] = True
+        return IMU.integrate(
+            jnp.asarray(m), jnp.asarray(mask), self.calib,
+            jnp.zeros(3) if bg is None else jnp.asarray(bg),
+            jnp.zeros(3) if ba is None else jnp.asarray(ba),
+        )
+
+    def cam_to_body(self, R_cw, t_cw):
+        """World->camera -> body state (R_wb, p_wb).
+
+        T_bc maps camera coords to body coords (the YAML's IMU.T_b_c1:
+        "transformation from camera to body-frame"). Then
+        T_wb = T_wc o T_bc^{-1}: R_wb = R_wc R_bc^T,
+        p_wb = c_w - R_wc R_bc^T t_bc."""
+        R_bc = np.asarray(self.calib.Tbc_R)
+        t_bc = np.asarray(self.calib.Tbc_t)
+        R_wc = np.asarray(R_cw).T
+        c_w = -R_wc @ np.asarray(t_cw)
+        R_wb = R_wc @ R_bc.T
+        p_wb = c_w - R_wb @ t_bc
+        return R_wb, p_wb
+
+    def body_to_cam(self, R_wb, p_wb):
+        R_cw, t_cw = VI.body_to_cam(
+            jnp.asarray(R_wb), jnp.asarray(p_wb),
+            self.calib.Tbc_R, self.calib.Tbc_t,
+        )
+        return np.asarray(R_cw), np.asarray(t_cw)
+
+    # ------------------------------------------------------------------
+    # keyframe chain
+    # ------------------------------------------------------------------
+    def on_keyframe(self, k: int, prev_kf: int, pre: IMU.Preintegrated):
+        """Record the chain preintegration prev_kf -> k (InsertKeyFrame's
+        mpImuPreintegratedFromLastKF handoff)."""
+        store = self.store
+        store.kf_prev[k] = prev_kf
+        self.kf_pre[k] = pre
+        if self.first_kf_ts is None:
+            self.first_kf_ts = float(store.kf_timestamp[k])
+        if prev_kf >= 0 and store.imu_initialized:
+            # propagate state to the new KF if tracking hasn't already
+            if not np.any(store.kf_vel[k]):
+                store.kf_vel[k] = store.kf_vel[prev_kf]
+            store.kf_bg[k] = store.kf_bg[prev_kf]
+            store.kf_ba[k] = store.kf_ba[prev_kf]
+
+    def chain(self):
+        """Ordered list of (kf, pre) pairs along the IMU chain."""
+        store = self.store
+        ids = store.valid_kf_ids()
+        order = np.argsort(store.kf_timestamp[ids])
+        ids = [int(i) for i in ids[order]]
+        out = []
+        for k in ids:
+            p = int(store.kf_prev[k])
+            if p >= 0 and store.kf_valid[p] and k in self.kf_pre:
+                out.append((p, k, self.kf_pre[k]))
+        return out
+
+    # ------------------------------------------------------------------
+    # staged initialization (LocalMapping::InitializeIMU analogue)
+    # ------------------------------------------------------------------
+    def maybe_initialize(self, now_ts: float) -> bool:
+        """Try the appropriate stage; returns True when a stage ran."""
+        store = self.store
+        cfg = self.cfg
+        if self.first_kf_ts is None:
+            return False
+        elapsed = now_ts - self.first_kf_ts
+        if self.stage == 0 and elapsed >= cfg.t_init:
+            return self._run_stage(cfg.prior_g_init, cfg.prior_a_init,
+                                   fix_scale=False, stage=1)
+        if self.stage == 1 and elapsed >= cfg.t_viba1:
+            return self._run_stage(cfg.prior_g_viba1, cfg.prior_a_viba1,
+                                   fix_scale=False, stage=2)
+        if self.stage == 2 and elapsed >= cfg.t_viba2:
+            return self._run_stage(0.0, 0.0, fix_scale=False, stage=3)
+        return False
+
+    def _run_stage(self, prior_g, prior_a, fix_scale, stage) -> bool:
+        store = self.store
+        cfg = self.cfg
+        links = self.chain()
+        if len(links) + 1 < cfg.min_kfs_for_init:
+            return False
+        links = links[-cfg.chain_cap:]
+        # consecutive-chain check: each link's prev must be the previous kf
+        kf_ids = [links[0][0]] + [k for _, k, _ in links]
+        for n in range(1, len(links)):
+            if links[n][0] != links[n - 1][1]:
+                return False  # broken chain (culling); retry later
+
+        R_wb = np.zeros((len(kf_ids), 3, 3), np.float32)
+        p_wb = np.zeros((len(kf_ids), 3), np.float32)
+        for n, k in enumerate(kf_ids):
+            R_wb[n], p_wb[n] = self.cam_to_body(store.kf_R[k], store.kf_t[k])
+        pres = jax.tree.map(lambda *xs: jnp.stack(xs), *[p for _, _, p in links])
+
+        res = VI.inertial_init(
+            jnp.asarray(R_wb), jnp.asarray(p_wb), pres,
+            prior_g=max(prior_g, 1e-3), prior_a=max(prior_a, 1e-3),
+            fix_scale=fix_scale,
+        )
+        s = float(res["scale"])
+        if not np.isfinite(s) or s < cfg.min_scale:
+            return False  # not enough motion (LocalMapping.cc:1457-1462)
+
+        Rwg = np.asarray(res["Rwg"])
+        self.apply_scaled_rotation(Rwg.T, s)
+        # the solver already works at metric scale (it scales the positions
+        # internally), so velocities only need the world rotation:
+        # v' = Rgw v = Rwg^T v  (row form: v @ Rwg)
+        v = np.asarray(res["v"]) @ Rwg
+        for n, k in enumerate(kf_ids):
+            store.kf_vel[k] = v[n]
+            store.kf_bg[k] = np.asarray(res["bg"])
+            store.kf_ba[k] = np.asarray(res["ba"])
+        # chain preintegrations stay linearized at bias 0; the bias-corrected
+        # getters (imu.delta_*) apply the first-order correction, matching
+        # the reference's Jacobian path (full Reintegrate() is only needed
+        # for large bias jumps and is a later milestone)
+        store.imu_initialized = True
+        store.viba1 = stage >= 2
+        store.viba2 = stage >= 3
+        self.stage = stage
+        return True
+
+    def apply_scaled_rotation(self, Rgw: np.ndarray, s: float):
+        """Rotate the world so gravity is -z and rescale to metric units
+        (Map::ApplyScaledRotation, reference include/Map.h:118): for every
+        KF pose T_cw -> T_cw' with world points p -> s Rgw p.
+
+        T_cw' = T_cw o T_w'w^{-1} with T_w'w = [s Rgw | 0]:
+          R_cw' = R_cw Rgw^T,  t_cw' = s t_cw  (rotation absorbs Rgw).
+        """
+        store = self.store
+        ids = store.valid_kf_ids()
+        for k in ids:
+            store.kf_R[k] = store.kf_R[k] @ Rgw.T
+            store.kf_t[k] = s * store.kf_t[k]
+        sel = store.mp_valid
+        store.mp_pos[sel] = s * (store.mp_pos[sel] @ Rgw.T)
+        store.kf_vel[ids] = s * (store.kf_vel[ids] @ Rgw.T)
+
+    # ------------------------------------------------------------------
+    def predict(self, k_or_state, pre: IMU.Preintegrated):
+        """PredictStateIMU from a keyframe id or an explicit body state."""
+        store = self.store
+        if isinstance(k_or_state, (int, np.integer)):
+            k = int(k_or_state)
+            R_wb, p_wb = self.cam_to_body(store.kf_R[k], store.kf_t[k])
+            v, bg, ba = store.kf_vel[k], store.kf_bg[k], store.kf_ba[k]
+        else:
+            R_wb, p_wb, v, bg, ba = k_or_state
+        R2, p2, v2 = IMU.predict_state(
+            jnp.asarray(R_wb), jnp.asarray(p_wb), jnp.asarray(v),
+            jnp.asarray(bg), jnp.asarray(ba), pre,
+        )
+        return np.asarray(R2), np.asarray(p2), np.asarray(v2)
