@@ -24,12 +24,16 @@ def simple_nms(scores, radius: int = 4, iterations: int = 2):
     size = 2 * radius + 1
 
     def max_pool(x):
+        # max is separable: two 1-D windows do the work of one 2-D window
+        # (size^2 -> 2*size comparisons per pixel on the VPU)
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, size, 1), window_strides=(1, 1, 1),
+            padding="SAME",
+        )
         return jax.lax.reduce_window(
-            x,
-            -jnp.inf,
-            jax.lax.max,
-            window_dimensions=(1, size, size),
-            window_strides=(1, 1, 1),
+            x, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, 1, size), window_strides=(1, 1, 1),
             padding="SAME",
         )
 
