@@ -74,20 +74,25 @@ class LoopCloser:
         self.store = store
         self.cfg = cfg or LoopCloserConfig()
         self.mapper = mapper
+        self.system = None  # set by SLAMSystem; enables cross-map merges
         self._np_rng = np.random.default_rng(rng_seed)
         self.consistent_hits = 0
         self.last_candidate = -1
-        self.stats = {"detected": 0, "corrected": 0, "checked": 0}
+        self.stats = {"detected": 0, "corrected": 0, "checked": 0, "merged": 0}
         self.last_loop = None  # (kf, cand) of the last corrected loop
 
     # ------------------------------------------------------------------
     def process_keyframe(self, k: int) -> bool:
-        """Detect + (if confirmed) correct a loop ending at keyframe k.
-        Returns True when a loop correction ran."""
+        """Detect + (if confirmed) correct a loop ending at keyframe k, or
+        merge the active map into a matched stored map
+        (NewDetectCommonRegions returns loop OR merge candidates).
+        Returns True when a correction/merge ran."""
         store = self.store
         cfg = self.cfg
         if store.kf_valid.sum() < cfg.min_kfs_in_map:
-            return False
+            # small maps can't loop on themselves, but CAN merge into a
+            # stored map (the recovery path after relocalization fails)
+            return self._try_merge(k)
 
         exclude = set(int(j) for j in store.covisible_kfs(k, n=64, min_weight=1))
         exclude.add(int(k))
@@ -112,6 +117,33 @@ class LoopCloser:
                 self.last_candidate = -1
                 return True
             return False
+        return self._try_merge(k)
+
+    # ------------------------------------------------------------------
+    # cross-map merge detection (the merge half of NewDetectCommonRegions)
+    # ------------------------------------------------------------------
+    def _try_merge(self, k: int) -> bool:
+        sys_ = self.system
+        if sys_ is None or sys_.atlas.n_maps() < 2:
+            return False
+        store = self.store
+        if store.imu_initialized:
+            return False  # inertial merge (MergeLocal2) is a later milestone
+        if int((store.kf_obs[k] >= 0).sum()) < self.cfg.min_pair_matches:
+            return False
+        for idx, m in enumerate(sys_.atlas.maps):
+            if m is store or m.kf_valid.sum() < 3 or m.imu_initialized:
+                continue
+            cands = retrieval.detect_n_best_candidates(
+                m, store.kf_gdesc[k], exclude=set(), n=self.cfg.n_candidates
+            )
+            for cand in cands:
+                hit = self._match_candidate(k, cand, store_b=m)
+                if hit is None:
+                    continue
+                if sys_.execute_merge(idx, k, cand, *hit):
+                    self.stats["merged"] += 1
+                    return True
         return False
 
     def _near(self, a, b):
@@ -122,16 +154,18 @@ class LoopCloser:
     # ------------------------------------------------------------------
     # detection
     # ------------------------------------------------------------------
-    def _match_candidate(self, k: int, cand: int):
-        """3D-3D association + Sim3 between KF k and the candidate window.
-        Returns (R_cm, t_cm, s_cm, loop_mp_ids) or None. S_cm maps
-        candidate-camera coords into current-camera coords (the reference's
-        gScm)."""
+    def _match_candidate(self, k: int, cand: int, store_b: MapStore = None):
+        """3D-3D association + Sim3 between KF k (active map) and the
+        candidate window (in store_b — another map for merges, the active
+        map for loops). Returns (R_cm, t_cm, s_cm, loop_mp_ids) or None.
+        S_cm maps candidate-camera coords into current-camera coords (the
+        reference's gScm)."""
         store = self.store
         cfg = self.cfg
+        store_b = store_b if store_b is not None else store
 
-        window = [cand] + [int(j) for j in store.covisible_kfs(cand, n=cfg.n_covis_window, min_weight=1)]
-        win_mps = store.points_seen_by(window)
+        window = [cand] + [int(j) for j in store_b.covisible_kfs(cand, n=cfg.n_covis_window, min_weight=1)]
+        win_mps = store_b.points_seen_by(window)
         if len(win_mps) == 0:
             return None
 
@@ -146,7 +180,7 @@ class LoopCloser:
         wcap = cfg.window_mp_cap
         win_mps = win_mps[:wcap]
         mp_desc = np.zeros((wcap, store.desc_dim), np.float32)
-        mp_desc[: len(win_mps)] = store.mp_desc[win_mps]
+        mp_desc[: len(win_mps)] = store_b.mp_desc[win_mps]
         mp_valid = np.zeros(wcap, bool)
         mp_valid[: len(win_mps)] = True
         kf_sel = np.zeros(store.n_slots, bool)
@@ -165,9 +199,9 @@ class LoopCloser:
         mp_a = store.kf_obs[k][mslots]              # current-map points
         mp_b = win_mps[idx[mslots]]                 # candidate-window points
         Rk, tk = store.kf_R[k], store.kf_t[k]
-        Rc, tc = store.kf_R[cand], store.kf_t[cand]
+        Rc, tc = store_b.kf_R[cand], store_b.kf_t[cand]
         p1 = store.mp_pos[mp_a] @ Rk.T + tk         # in current camera
-        p2 = store.mp_pos[mp_b] @ Rc.T + tc         # in candidate camera
+        p2 = store_b.mp_pos[mp_b] @ Rc.T + tc       # in candidate camera
         uv1 = store.kf_xy[k][mslots]
         uv2 = np.asarray(self.cam.project(jnp.asarray(p2)))
         s2_1 = (1.2 ** (2.0 * store.kf_octave[k][mslots])).astype(np.float32)
@@ -211,7 +245,7 @@ class LoopCloser:
         R_cw = R_cm @ Rc
         t_cw = s_cm * (R_cm @ tc) + t_cm
         pos = np.zeros((wcap, 3), np.float32)
-        pos[: len(win_mps)] = store.mp_pos[win_mps]
+        pos[: len(win_mps)] = store_b.mp_pos[win_mps]
         idx2, _, _ = search.search_by_projection(
             self.cam.kind, self.cam.params, (self.cam.width, self.cam.height),
             jnp.asarray(R_cw * s_cm), jnp.asarray(t_cw),

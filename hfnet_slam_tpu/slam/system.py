@@ -78,6 +78,9 @@ class SLAMSystem:
                    if imu_calib is not None else None)
         self.tracker = Tracker(cam, self.store, c.tracker, mapper=self.mapper,
                                loop_closer=self.loop_closer, vi=self.vi)
+        if self.loop_closer is not None:
+            self.loop_closer.system = self  # enables cross-map merges
+        self._traj_mark = 0
 
     @property
     def store(self) -> MapStore:
@@ -138,6 +141,75 @@ class SLAMSystem:
             store = self.atlas.reset_active_map()
         self._rewire(store)
         self.tracker.reset_for_new_map(store)
+        self._traj_mark = len(self.tracker.trajectory)
+
+    # ------------------------------------------------------------------
+    def execute_merge(self, target_idx: int, k: int, cand: int,
+                      R_cm, t_cm, s_cm, win_mps) -> bool:
+        """Weld the active map into atlas map `target_idx` via the matched
+        Sim3 (LoopClosing::MergeLocal, LoopClosing.cc:1355). Called by the
+        loop closer when place recognition hits a stored map."""
+        from . import merging
+
+        active = self.store
+        target = self.atlas.maps[target_idx]
+        G = merging.compute_world_transform(active, target, k, cand,
+                                            R_cm, t_cm, s_cm)
+        kf_remap, mp_remap = merging.merge_into(active, target, G)
+        if k not in kf_remap:
+            return False
+        k_new = kf_remap[k]
+
+        # rebuild covisibility of the transplanted keyframes
+        for b in kf_remap.values():
+            target.update_covisibility(b)
+
+        # atlas surgery: target becomes active, the absorbed map is dropped
+        self.atlas.maps = [m for m in self.atlas.maps if m is not active]
+        self.atlas.active_idx = self.atlas.maps.index(target)
+        self._rewire(target)
+
+        # tracker continuity in the merged frame
+        tr = self.tracker
+        tr.store = target
+        tr.ref_kf = k_new
+        tr._last_kf = k_new if tr.vi is not None else tr._last_kf
+        tr.velocity = None
+        if tr.last_frame is not None:
+            tr.last_frame.R = target.kf_R[k_new].copy()
+            tr.last_frame.t = target.kf_t[k_new].copy()
+            tr.last_frame.obs = target.kf_obs[k_new].copy()
+        if tr.vi is not None:
+            tr.vi.store = target
+            tr.vi.kf_pre.clear()
+            tr._imu_since_kf = []
+        # transform the trajectory segment recorded in the absorbed map's
+        # frame (the reference recovers this via per-frame relative poses)
+        Rg, tg, sg = G
+        mark = getattr(self, "_traj_mark", 0)
+        fixed = []
+        for ts, R, t in tr.trajectory[mark:]:
+            fixed.append((ts, R @ Rg.T, t / sg - (R @ Rg.T) @ (np.asarray(tg) / sg)))
+        tr.trajectory[mark:] = fixed
+
+        # weld: fuse duplicated landmarks around the seam, then polish the
+        # whole merged map (the reference runs a welding-window BA plus an
+        # essential-graph pass, LoopClosing.cc:1355-)
+        if self.loop_closer is not None:
+            window = [k_new] + [int(j) for j in target.covisible_kfs(k_new, n=8, min_weight=1)]
+            self.loop_closer._fuse_loop_points(window, np.asarray(win_mps))
+        if self.mapper is not None:
+            self.mapper.local_ba(k_new)
+            lc = self.cfg.loop
+            anchor = int(target.valid_kf_ids()[0])
+            self.mapper.run_global_ba(
+                fixed_ids=[anchor], rounds=lc.gba_rounds,
+                kf_cap=lc.gba_kf_cap, mp_cap=lc.gba_mp_cap,
+                edge_cap=lc.gba_edge_cap,
+            )
+            self.tracker.last_frame.R = target.kf_R[k_new].copy()
+            self.tracker.last_frame.t = target.kf_t[k_new].copy()
+        return True
 
     def _rewire(self, store):
         self.mapper.store = store
