@@ -11,15 +11,14 @@ elimination.
 
 Layout (TPU-first, not a translation of the reference's C++):
   lie.py          -- SO3/SE3/Sim3 exp/log/adjoint (replaces Thirdparty/Sophus)
-  geometry/       -- camera models, triangulation, two-view init, Sim3/PnP solvers
-  models/         -- HF-Net (MobileNetV2 + heads + NetVLAD) in pure JAX
-  ops/            -- extraction post-processing + matching/retrieval MXU kernels
-  imu/            -- IMU preintegration (lax.scan)
-  optim/          -- factor-graph Gauss-Newton/LM engine (replaces g2o)
-  slam/           -- frame/keyframe/map/atlas + tracking/mapping/loop-closing
+  geometry/       -- cameras, triangulation, two-view init, IMU preintegration
+  models/         -- HF-Net (MobileNetV2 + heads + NetVLAD) in pure JAX + fake
+  ops/            -- extraction post-proc + matching/retrieval/stereo kernels
+  optim/          -- GN/LM engines: pose, BA, Sim3, pose graph, PnP, inertial
+  slam/           -- map/atlas + tracking/mapping/loop-closing/VI + facade
   parallel/       -- device-mesh sharding for retrieval + distributed BA
-  config/         -- YAML settings (reference-compatible)
-  utils/          -- timing registry, trajectory IO
+  native/         -- C++ host runtime (map bookkeeping) via ctypes
+  utils/          -- YAML settings, timing registry, trajectory IO, datasets
   evaluation/     -- ATE evaluation (Horn alignment)
 """
 

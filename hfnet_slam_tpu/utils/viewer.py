@@ -1,0 +1,69 @@
+"""Offline map/trajectory viewer.
+
+Replaces the reference's live Pangolin GUI (src/{Viewer,FrameDrawer,
+MapDrawer}.cc — keyframes, covisibility graph, landmarks, current camera)
+with a headless snapshot renderer: `render(store, trajectory, path)`
+writes a PNG of the map state. Live 3-D GUIs don't belong in a TPU-pod
+deployment; snapshot rendering covers the observability role (SURVEY.md
+§5.5) and slots into notebooks and eval scripts.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def render(store, trajectory=None, path=None, show_covis=True,
+           max_points=20000, elev=-60, azim=-90):
+    """Render the map (landmarks, keyframes, spanning tree/covisibility,
+    trajectory) to `path` (PNG). Returns the matplotlib figure."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(9, 7))
+    ax = fig.add_subplot(111, projection="3d")
+
+    # landmarks
+    mp = store.mp_pos[store.mp_valid]
+    if len(mp) > max_points:
+        mp = mp[:: len(mp) // max_points + 1]
+    if len(mp):
+        ax.scatter(mp[:, 0], mp[:, 1], mp[:, 2], s=0.5, c="#888888", alpha=0.5)
+
+    # keyframes (camera centers) + graph edges
+    kfs = store.valid_kf_ids()
+    if len(kfs):
+        centers = np.stack([-store.kf_R[k].T @ store.kf_t[k] for k in kfs])
+        ax.scatter(centers[:, 0], centers[:, 1], centers[:, 2],
+                   s=12, c="#1f77b4", marker="s", label="keyframes")
+        loc = {int(k): i for i, k in enumerate(kfs)}
+        if show_covis:
+            for i, k in enumerate(kfs):
+                p = int(store.kf_parent[k])
+                if p in loc:
+                    q = centers[loc[p]]
+                    ax.plot([centers[i, 0], q[0]], [centers[i, 1], q[1]],
+                            [centers[i, 2], q[2]], c="#2ca02c", lw=0.8)
+            for a, b in store.loop_edges:
+                if int(a) in loc and int(b) in loc:
+                    pa, pb = centers[loc[int(a)]], centers[loc[int(b)]]
+                    ax.plot([pa[0], pb[0]], [pa[1], pb[1]], [pa[2], pb[2]],
+                            c="#d62728", lw=1.5)
+
+    # per-frame trajectory
+    if trajectory:
+        tc = np.stack([-R.T @ t for _, R, t in trajectory])
+        ax.plot(tc[:, 0], tc[:, 1], tc[:, 2], c="#ff7f0e", lw=1.2,
+                label="trajectory")
+
+    ax.set_xlabel("x"); ax.set_ylabel("y"); ax.set_zlabel("z")
+    ax.view_init(elev=elev, azim=azim)
+    ax.legend(loc="upper right", fontsize=8)
+    fig.tight_layout()
+    if path is not None:
+        fig.savefig(path, dpi=110)
+        import matplotlib.pyplot as _plt
+
+        _plt.close(fig)
+    return fig

@@ -177,3 +177,26 @@ class TestDatasets:
         pairs = associate(a, b)
         assert len(pairs) == 2
         assert pairs[0][1] == "a0" and pairs[0][3] == "b0"
+
+
+class TestViewer:
+    def test_render_snapshot(self, tmp_path):
+        from hfnet_slam_tpu.slam.map import MapStore
+        from hfnet_slam_tpu.utils import viewer
+
+        rng = np.random.default_rng(0)
+        store = MapStore(k_max=8, m_max=128, n_slots=16, desc_dim=8, gdesc_dim=8)
+        ids = store.add_points(rng.uniform(-2, 2, (60, 3)),
+                               rng.standard_normal((60, 8)))
+        for k in range(3):
+            store.kf_valid[k] = True
+            store.kf_t[k] = [0.2 * k, 0, 0]
+            store.n_kf += 1
+        store.kf_parent[1] = 0
+        store.kf_parent[2] = 1
+        store.loop_edges.append((0, 2))
+        traj = [(0.05 * i, np.eye(3), np.array([0.1 * i, 0, 0.0]))
+                for i in range(5)]
+        p = tmp_path / "map.png"
+        viewer.render(store, traj, p)
+        assert p.exists() and p.stat().st_size > 10_000
