@@ -63,10 +63,31 @@ def search_by_projection(
     return idx, uv, mp_ok
 
 
-@partial(jax.jit, static_argnames=("max_dist", "ratio"))
 def search_brute_force(descA, maskA, descB, maskB, max_dist: float = M.TH_LOW, ratio: float = 1.0):
     """Mutual brute-force matching (the reference's SearchByBoW —
-    cv::BFMatcher(NORM_L2, crossCheck), src/Matcher.cc:220-263)."""
+    cv::BFMatcher(NORM_L2, crossCheck), src/Matcher.cc:220-263).
+
+    On TPU with MXU-aligned shapes this routes to the fused Pallas kernel
+    (ops/pallas_match.py: matmul + top-2 reduction without materializing
+    the similarity matrix in HBM, ~1.8x the XLA path); elsewhere it falls
+    back to the XLA matcher."""
+    if (
+        jax.default_backend() == "tpu"
+        and descA.shape[0] % 128 == 0
+        and descA.shape[1] % 128 == 0
+        and descB.shape[0] % 128 == 0
+    ):
+        from ..ops import pallas_match as PM
+
+        return PM.match_descriptors_fused(
+            descA, maskA, descB, maskB, max_dist=max_dist, ratio=ratio
+        )
+    return _search_brute_force_xla(descA, maskA, descB, maskB,
+                                   max_dist=max_dist, ratio=ratio)
+
+
+@partial(jax.jit, static_argnames=("max_dist", "ratio"))
+def _search_brute_force_xla(descA, maskA, descB, maskB, max_dist, ratio):
     return M.match_descriptors(descA, maskA, descB, maskB, max_dist=max_dist, ratio=ratio, mutual=True)
 
 
