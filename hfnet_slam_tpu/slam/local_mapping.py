@@ -23,10 +23,12 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
+from ..geometry import imu as IMU
 from ..geometry import triangulation
-from ..optim import ba, factors
+from ..optim import ba, factors, vi_ba
 from . import search
 from .map import MapStore
 
@@ -80,6 +82,16 @@ class MapperConfig:
     init_ba_rounds: tuple = ((20, True),)
     # stereo depth-edge weight base bf = fx*baseline (0 = mono-only edges)
     bf: float = 0.0
+    # visual-inertial local BA (Optimizer::LocalInertialBA, Optimizer.cc:2383:
+    # temporal window Nd=10 opt KFs / 25 "bLarge", fixed anchors <= 200)
+    iba_window: int = 10
+    iba_kf_cap: int = 24
+    iba_mp_cap: int = 2048
+    iba_edge_cap: int = 8192
+    iba_rounds: tuple = ((4, True), (6, False))
+    # full VI-BA (FullInertialBA, Optimizer.cc:392) capacities
+    fiba_kf_cap: int = 48
+    fiba_rounds: tuple = ((8, True), (12, False))
 
 
 class LocalMapper:
@@ -87,6 +99,7 @@ class LocalMapper:
         self.cam = cam
         self.store = store
         self.cfg = cfg or MapperConfig()
+        self.vim = None  # slam.vi.VIManager when visual-inertial (set by System)
         # (mp_id, n_kf at creation) for MapPointCulling's age window
         self.recent_points: list[tuple[int, int]] = []
         self.kf_count = 0
@@ -109,7 +122,12 @@ class LocalMapper:
         self.create_new_points(k)
         self.fuse_neighbors(k)
         if self.kf_count % max(self.cfg.ba_interval, 1) == 0:
-            self.local_ba(k)
+            # once the IMU is initialized the window BA is visual-inertial
+            # (LocalMapping.cc:168: LocalInertialBA when IMU_INITIALIZED)
+            if self.vim is not None and self.store.imu_initialized:
+                self.local_inertial_ba(k, self.vim)
+            else:
+                self.local_ba(k)
         self.cull_keyframes(k)
 
     # ------------------------------------------------------------------
@@ -317,48 +335,35 @@ class LocalMapper:
                      rounds=rounds, kf_cap=kf_cap, mp_cap=mp_cap,
                      edge_cap=edge_cap)
 
-    def _run_ba(self, kf_ids, fixed_ids, rounds, mp_ids=None, kf_cap=None,
-                mp_cap=None, edge_cap=None):
-        """Build a fixed-capacity BAProblem from the store, solve, write back,
-        and detach outlier observations."""
+    def _gather_edges(self, kf_ids, mp_ids, kf_cap, mp_cap, edge_cap):
+        """Collect the (kf, slot, mp) observation triples among the given
+        keyframe/point sets, capacity-trimmed. Shared by the visual and the
+        visual-inertial BA builders."""
         store = self.store
-        cfg = self.cfg
-        kf_cap = kf_cap or cfg.ba_kf_cap
-        mp_cap = mp_cap or cfg.ba_mp_cap
-        edge_cap = edge_cap or cfg.ba_edge_cap
         kf_ids = np.asarray(sorted(int(i) for i in kf_ids), int)[:kf_cap]
         if mp_ids is None:
             mp_ids = store.points_seen_by(kf_ids)
         kf_in = np.isin(np.arange(store.k_max), kf_ids)
-
         kf_e, slot_e, mp_e = store.observing_slots(mp_ids)
         keep = kf_in[kf_e]
         kf_e, slot_e, mp_e = kf_e[keep], slot_e[keep], mp_e[keep]
         if len(kf_e) == 0:
-            return
+            return kf_ids, np.empty(0, int), kf_e, slot_e, mp_e
         # drop points whose every observation fell outside the KF set cap
         mp_ids = np.intersect1d(mp_ids, np.unique(mp_e))[:mp_cap]
         mp_keep = np.isin(mp_e, mp_ids)
         kf_e, slot_e, mp_e = kf_e[mp_keep], slot_e[mp_keep], mp_e[mp_keep]
-        kf_e, slot_e, mp_e = kf_e[:edge_cap], slot_e[:edge_cap], mp_e[:edge_cap]
+        return (kf_ids, mp_ids, kf_e[:edge_cap], slot_e[:edge_cap],
+                mp_e[:edge_cap])
 
-        # global -> local index maps
+    def _edge_arrays(self, kf_ids, mp_ids, kf_e, slot_e, mp_e, K, M, E):
+        """Padded fixed-shape edge arrays for a BA problem."""
+        store = self.store
+        cfg = self.cfg
         kf_loc = np.zeros(store.k_max, np.int32)
         kf_loc[kf_ids] = np.arange(len(kf_ids))
         mp_loc = np.zeros(store.m_max, np.int32)
         mp_loc[mp_ids] = np.arange(len(mp_ids))
-
-        K, M, E = kf_cap, mp_cap, edge_cap
-        poses_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
-        poses_t = np.zeros((K, 3), np.float32)
-        poses_R[: len(kf_ids)] = store.kf_R[kf_ids]
-        poses_t[: len(kf_ids)] = store.kf_t[kf_ids]
-        fixed = np.ones(K, bool)
-        fixed[: len(kf_ids)] = [int(i) in fixed_ids for i in kf_ids]
-
-        points = np.zeros((M, 3), np.float32)
-        points[: len(mp_ids)] = store.mp_pos[mp_ids]
-
         kf_idx = np.zeros(E, np.int32)
         pt_idx = np.zeros(E, np.int32)
         uv = np.zeros((E, 2), np.float32)
@@ -376,6 +381,46 @@ class LocalMapper:
             z = store.kf_depth[kf_e, slot_e]
             z_meas[:n_e] = np.where(z > 0, z, 0.0)
             wz[:n_e] = np.where(z > 0, cfg.bf / np.maximum(z, 1e-3) ** 2, 0.0)
+        return kf_idx, pt_idx, uv, inv_s2, valid, z_meas, wz
+
+    def _detach_outliers(self, out_valid, kf_e, slot_e, mp_ids):
+        """Erase observations classified as outliers (the reference's final
+        erase loop, Optimizer.cc:1436-1464); kill orphaned points."""
+        store = self.store
+        bad = ~out_valid
+        if bad.any():
+            for kf, slot in zip(kf_e[bad], slot_e[bad]):
+                store.set_observation(int(kf), int(slot), -1)
+            orphans = mp_ids[store.mp_obs_count[mp_ids] < 2]
+            store.remove_points(orphans)
+
+    def _run_ba(self, kf_ids, fixed_ids, rounds, mp_ids=None, kf_cap=None,
+                mp_cap=None, edge_cap=None):
+        """Build a fixed-capacity BAProblem from the store, solve, write back,
+        and detach outlier observations."""
+        store = self.store
+        cfg = self.cfg
+        kf_cap = kf_cap or cfg.ba_kf_cap
+        mp_cap = mp_cap or cfg.ba_mp_cap
+        edge_cap = edge_cap or cfg.ba_edge_cap
+        kf_ids, mp_ids, kf_e, slot_e, mp_e = self._gather_edges(
+            kf_ids, mp_ids, kf_cap, mp_cap, edge_cap)
+        if len(kf_e) == 0:
+            return
+        K, M, E = kf_cap, mp_cap, edge_cap
+        poses_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        poses_t = np.zeros((K, 3), np.float32)
+        poses_R[: len(kf_ids)] = store.kf_R[kf_ids]
+        poses_t[: len(kf_ids)] = store.kf_t[kf_ids]
+        fixed = np.ones(K, bool)
+        fixed[: len(kf_ids)] = [int(i) in fixed_ids for i in kf_ids]
+
+        points = np.zeros((M, 3), np.float32)
+        points[: len(mp_ids)] = store.mp_pos[mp_ids]
+
+        kf_idx, pt_idx, uv, inv_s2, valid, z_meas, wz = self._edge_arrays(
+            kf_ids, mp_ids, kf_e, slot_e, mp_e, K, M, E)
+        n_e = len(kf_e)
 
         prob = ba.BAProblem(
             poses_R=jnp.asarray(poses_R), poses_t=jnp.asarray(poses_t),
@@ -395,16 +440,185 @@ class LocalMapper:
         store.kf_t[kf_ids[free]] = t_new[free]
         store.mp_pos[mp_ids] = np.asarray(out.points)[: len(mp_ids)]
 
-        # detach observations classified as outliers (the reference's final
-        # erase loop, Optimizer.cc:1436-1464)
-        out_valid = np.asarray(out.valid)[:n_e]
-        bad = ~out_valid
-        if bad.any():
-            for kf, slot in zip(kf_e[bad], slot_e[bad]):
-                store.set_observation(int(kf), int(slot), -1)
-            # points left with <2 observations are dead
-            orphans = mp_ids[store.mp_obs_count[mp_ids] < 2]
-            store.remove_points(orphans)
+        self._detach_outliers(np.asarray(out.valid)[:n_e], kf_e, slot_e,
+                              mp_ids)
+
+    # ------------------------------------------------------------------
+    # visual-inertial BA (LocalInertialBA / FullInertialBA analogues)
+    # ------------------------------------------------------------------
+    def local_inertial_ba(self, k: int, vim):
+        """Temporal-window VI-BA (Optimizer::LocalInertialBA,
+        Optimizer.cc:2383): the last Nd chain keyframes optimize jointly
+        with their landmarks; the chain predecessor and external observers
+        are fixed anchors."""
+        store = self.store
+        cfg = self.cfg
+        # walk the IMU chain backwards from k
+        window = [k]
+        while len(window) < cfg.iba_window:
+            p = int(store.kf_prev[window[-1]])
+            if p < 0 or not store.kf_valid[p]:
+                break
+            window.append(p)
+        window = window[::-1]
+        if len(window) < 2:
+            return
+        mp_ids = store.points_seen_by(np.asarray(window))
+        if len(mp_ids) == 0:
+            return
+        kf_e, _, _ = store.observing_slots(mp_ids)
+        anchors = np.setdiff1d(np.unique(kf_e), window)
+        p0 = int(store.kf_prev[window[0]])
+        if p0 >= 0 and store.kf_valid[p0]:
+            anchors = np.union1d(anchors, [p0])
+        # cap the fixed set, keeping the most recent anchors (the reference
+        # caps at maxFixKF=200, Optimizer.cc:2391)
+        anchors = anchors[-max(cfg.iba_kf_cap - len(window), 1):]
+        self._run_inertial_ba(
+            opt_ids=window, fixed_ids=[int(a) for a in anchors], vim=vim,
+            mp_ids=mp_ids, rounds=cfg.iba_rounds, kf_cap=cfg.iba_kf_cap,
+        )
+
+    def full_inertial_ba(self, vim, prior_g=0.0, prior_a=0.0, rounds=None):
+        """Whole-map VI-BA (Optimizer::FullInertialBA, Optimizer.cc:392),
+        run by the staged IMU initialization (LocalMapping.cc:1493) and by
+        inertial loop closing (LoopClosing.cc:2408)."""
+        store = self.store
+        cfg = self.cfg
+        kf_ids = store.valid_kf_ids()
+        order = np.argsort(store.kf_timestamp[kf_ids])
+        kf_ids = [int(i) for i in kf_ids[order][-cfg.fiba_kf_cap:]]
+        if len(kf_ids) < 3:
+            return
+        self._run_inertial_ba(
+            opt_ids=kf_ids, fixed_ids=[], vim=vim, mp_ids=None,
+            rounds=rounds or cfg.fiba_rounds, kf_cap=cfg.fiba_kf_cap,
+            prior_g=prior_g, prior_a=prior_a,
+        )
+
+    def _run_inertial_ba(self, opt_ids, fixed_ids, vim, mp_ids, rounds,
+                         kf_cap, prior_g=0.0, prior_a=0.0):
+        """Build a fixed-capacity VIBAProblem from the store + IMU chain,
+        solve, write back body states and landmarks."""
+        store = self.store
+        cfg = self.cfg
+        all_ids = sorted(set(int(i) for i in opt_ids) | set(int(i) for i in fixed_ids))
+        kf_ids, mp_ids, kf_e, slot_e, mp_e = self._gather_edges(
+            all_ids, mp_ids, kf_cap, cfg.iba_mp_cap, cfg.iba_edge_cap)
+        if len(kf_e) == 0:
+            return
+        K, M, E = kf_cap, cfg.iba_mp_cap, cfg.iba_edge_cap
+        nk = len(kf_ids)
+        kf_loc = {int(kf): i for i, kf in enumerate(kf_ids)}
+
+        R_wb = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        p_wb = np.zeros((K, 3), np.float32)
+        for i, kf in enumerate(kf_ids):
+            R_wb[i], p_wb[i] = vim.cam_to_body(store.kf_R[kf], store.kf_t[kf])
+        v = np.zeros((K, 3), np.float32)
+        bg = np.zeros((K, 3), np.float32)
+        ba_ = np.zeros((K, 3), np.float32)
+        v[:nk] = store.kf_vel[kf_ids]
+        bg[:nk] = store.kf_bg[kf_ids]
+        ba_[:nk] = store.kf_ba[kf_ids]
+
+        fixed = np.ones(K, bool)
+        fixed[:nk] = [int(i) in set(fixed_ids) for i in kf_ids]
+        # gauge: if nothing is fixed (FullInertialBA), pin the oldest pose
+        # only — its velocity/biases stay in the chain
+        fix_pose_only = np.zeros(K, bool)
+        if not fixed[:nk].any():
+            oldest = int(np.argmin(store.kf_timestamp[kf_ids]))
+            fix_pose_only[oldest] = True
+
+        points = np.zeros((M, 3), np.float32)
+        points[: len(mp_ids)] = store.mp_pos[mp_ids]
+        kf_idx, pt_idx, uv, inv_s2, valid, z_meas, wz = self._edge_arrays(
+            kf_ids, mp_ids, kf_e, slot_e, mp_e, K, M, E)
+        n_e = len(kf_e)
+
+        # inertial links: consecutive chain pairs that are both in the set
+        L = K
+        li = np.zeros(L, np.int32)
+        lj = np.zeros(L, np.int32)
+        lvalid = np.zeros(L, bool)
+        pres = []
+        n_l = 0
+        empty = IMU.empty_preintegrated()
+        for kf in kf_ids:
+            p = int(store.kf_prev[kf])
+            if p in kf_loc and kf in vim.kf_pre and n_l < L:
+                li[n_l] = kf_loc[p]
+                lj[n_l] = kf_loc[int(kf)]
+                lvalid[n_l] = True
+                pres.append(vim.kf_pre[kf])
+                n_l += 1
+        if n_l < 2:
+            return  # no usable chain in the window; plain visual BA covers it
+        pres.extend([empty] * (L - n_l))
+        pre = jax.tree.map(lambda *xs: jnp.stack(xs), *pres)
+
+        prob = vi_ba.VIBAProblem(
+            R_wb=jnp.asarray(R_wb), p_wb=jnp.asarray(p_wb),
+            v=jnp.asarray(v), bg=jnp.asarray(bg), ba=jnp.asarray(ba_),
+            fixed=jnp.asarray(fixed),
+            fix_pose_only=jnp.asarray(fix_pose_only),
+            points=jnp.asarray(points),
+            Tbc_R=jnp.asarray(np.asarray(vim.calib.Tbc_R, np.float32)),
+            Tbc_t=jnp.asarray(np.asarray(vim.calib.Tbc_t, np.float32)),
+            kf_idx=jnp.asarray(kf_idx), pt_idx=jnp.asarray(pt_idx),
+            uv=jnp.asarray(uv), inv_sigma2=jnp.asarray(inv_s2),
+            valid=jnp.asarray(valid),
+            z_meas=jnp.asarray(z_meas), wz=jnp.asarray(wz),
+            li=jnp.asarray(li), lj=jnp.asarray(lj), pre=pre,
+            lvalid=jnp.asarray(lvalid),
+            prior_g=jnp.asarray(float(prior_g), jnp.float32),
+            prior_a=jnp.asarray(float(prior_a), jnp.float32),
+        )
+        out = vi_ba.vi_bundle_adjust(self.cam.kind, self.cam.params, prob,
+                                     rounds=rounds)
+
+        # ---- write back --------------------------------------------------
+        free = ~fixed[:nk]
+        R_b = np.asarray(out.R_wb)[:nk]
+        p_b = np.asarray(out.p_wb)[:nk]
+        for i, kf in enumerate(kf_ids):
+            if not free[i]:
+                continue
+            if fix_pose_only[i]:
+                store.kf_vel[kf] = np.asarray(out.v)[i]
+                store.kf_bg[kf] = np.asarray(out.bg)[i]
+                store.kf_ba[kf] = np.asarray(out.ba)[i]
+                continue
+            R_cw, t_cw = vim.body_to_cam(R_b[i], p_b[i])
+            store.kf_R[kf] = R_cw
+            store.kf_t[kf] = t_cw
+            store.kf_vel[kf] = np.asarray(out.v)[i]
+            store.kf_bg[kf] = np.asarray(out.bg)[i]
+            store.kf_ba[kf] = np.asarray(out.ba)[i]
+        store.mp_pos[mp_ids] = np.asarray(out.points)[: len(mp_ids)]
+        self._detach_outliers(np.asarray(out.valid)[:n_e], kf_e, slot_e,
+                              mp_ids)
+
+    def _repair_imu_chain(self, j: int):
+        """Splice KF j out of the IMU chain before culling it: its
+        successor's preintegration absorbs j's (the reference reintegrates
+        across the gap, LocalMapping.cc:1214 MergePrevious)."""
+        if self.vim is None:
+            return
+        store = self.store
+        succ = np.nonzero(store.kf_prev == j)[0]
+        prev = int(store.kf_prev[j])
+        for s in succ:
+            s = int(s)
+            store.kf_prev[s] = prev
+            if s in self.vim.kf_pre and j in self.vim.kf_pre:
+                self.vim.kf_pre[s] = jax.tree.map(
+                    lambda a: jnp.asarray(a),
+                    IMU.compose(self.vim.kf_pre[j], self.vim.kf_pre[s]))
+            else:
+                self.vim.kf_pre.pop(s, None)
+        self.vim.kf_pre.pop(j, None)
 
     # ------------------------------------------------------------------
     # keyframe culling (LocalMapping::KeyFrameCulling, :1090)
@@ -427,6 +641,7 @@ class LocalMapper:
                 continue
             redundant = store.mp_obs_count[mp] > cfg.kf_cull_min_obs
             if redundant.mean() > cfg.kf_cull_redundancy:
+                self._repair_imu_chain(j)
                 store.remove_keyframe(j)
                 self.stats["culled_kfs"] += 1
                 n_culled += 1

@@ -76,6 +76,12 @@ class SLAMSystem:
         )
         self.vi = (VIManager(imu_calib, self.store, c.vi)
                    if imu_calib is not None else None)
+        if self.vi is not None:
+            # cross-wiring for the visual-inertial BA paths: the mapper's
+            # window BA goes inertial once the IMU is initialized, and the
+            # staged init runs FullInertialBA through the mapper
+            self.mapper.vim = self.vi
+            self.vi.mapper = self.mapper
         self.tracker = Tracker(cam, self.store, c.tracker, mapper=self.mapper,
                                loop_closer=self.loop_closer, vi=self.vi)
         if self.loop_closer is not None:

@@ -7,12 +7,14 @@ InertialOptimization -> ApplyScaledRotation -> FullInertialBA,
 src/LocalMapping.cc:1359-1613, staged at init / VIBA1@5s / VIBA2@15s,
 :200-275).
 
-Round-1 staging: the init and refinement stages run the whitened
-inertial-only solver (optim/inertial.inertial_init) with poses fixed —
-gravity direction, scale, biases and velocities; the full 15-dof
-visual-inertial BA (FullInertialBA / LocalInertialBA) is the next
-milestone and its seams (per-KF chain preintegrations, bias storage) are
-already in place here.
+Staging: each init/refinement stage runs the whitened inertial-only
+solver (optim/inertial.inertial_init) with poses fixed — gravity
+direction, scale, biases and velocities — then aligns the map and
+polishes with the full 15-dof visual-inertial BA
+(optim/vi_ba.vi_bundle_adjust via LocalMapper.full_inertial_ba), the
+FullInertialBA call at LocalMapping.cc:1493. After initialization the
+mapper's window BA switches to LocalInertialBA
+(LocalMapper.local_inertial_ba).
 
 The body frame: camera-in-body extrinsic T_bc comes from ImuCalib; all
 MapStore poses remain world->camera; this module converts at the boundary.
@@ -59,6 +61,7 @@ class VIManager:
         self.kf_pre: dict[int, IMU.Preintegrated] = {}
         self.first_kf_ts: float = None
         self.stage = 0  # 0 = visual only, 1 = initialized, 2 = viba1, 3 = viba2
+        self.mapper = None  # LocalMapper, set by System — runs FullInertialBA
 
     # ------------------------------------------------------------------
     # frame-level helpers
@@ -196,6 +199,12 @@ class VIManager:
         store.viba1 = stage >= 2
         store.viba2 = stage >= 3
         self.stage = stage
+        # full visual-inertial BA polish after alignment (InitializeIMU's
+        # FullInertialBA call, LocalMapping.cc:1493-1495, with the stage's
+        # bias priors)
+        if self.mapper is not None:
+            self.mapper.full_inertial_ba(self, prior_g=prior_g,
+                                         prior_a=prior_a)
         return True
 
     def apply_scaled_rotation(self, Rgw: np.ndarray, s: float):
