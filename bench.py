@@ -4,9 +4,10 @@ Reference baseline (BASELINE.md): TensorRT FP16 on RTX 2070 Max-Q extracts
 the full 4-level pyramid (1000 keypoints, EuRoC 752x480) in 7.53 ms —
 the dominant per-frame cost of the ~50 FPS SLAM loop.
 
-Here the same workload runs as ONE batched bf16 XLA program on a TPU chip:
-4 pyramid levels stacked on a common canvas, conv backbone + heads, in-graph
-NMS, per-level top-K and bilinear descriptor sampling (models/extractor.py).
+Here the same workload runs as ONE bf16 XLA program on a TPU chip: each
+pyramid level at its native resolution (global head for level 0 only),
+conv backbone + heads, in-graph NMS, per-level top-K and bilinear
+descriptor sampling (models/extractor.py).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline > 1 means faster than the reference's 7.53 ms.

@@ -2,10 +2,13 @@
 
 The reference (src/Extractors/HFextractor.cc:142-283) builds a 4-level image
 pyramid and submits one TensorRT inference per level from a thread pool.
-Here all levels are resized on-device, padded onto a common canvas, and run
-through HF-Net as ONE batched forward — the MXU processes every level of the
-frame in a single conv workload, and keypoint selection / descriptor
-sampling stay on-device (ops/extract.py).
+Here the whole pyramid is ONE jitted program: each level is resized
+on-device and run through HF-Net at its NATIVE resolution (no padded
+canvas — a canvas would pay full-resolution conv cost L times; native
+sizes pay sum(area_l) ≈ 0.63x of that for 4 levels at 1.2x), the global
+NetVLAD head and the stride-16/32 backbone tail run only for level 0
+(the reference's kImageToLocal split, BaseModel.h:16-21), and keypoint
+selection / descriptor sampling stay on-device (ops/extract.py).
 
 Output is a fixed-capacity, masked feature set (pad_to slots), which is what
 the downstream matching/BA kernels consume directly.
@@ -104,37 +107,33 @@ def _extract_pyramid(params, image, *, cfg) -> Features:
             lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params
         )
 
-    # ---- build pyramid on a common canvas -------------------------------
-    canvases = []
-    masks = []
-    for (h, w) in cfg["level_hw"]:
-        lv = jax.image.resize(image, (h, w, 1), method="bilinear")
-        canvas = jnp.full((H, W, 1), 128.0, dtype=jnp.float32)
-        canvas = canvas.at[:h, :w, :].set(lv)
-        m = jnp.zeros((H, W), dtype=bool).at[:h, :w].set(True)
-        canvases.append(canvas)
-        masks.append(m)
-    batch = jnp.stack(canvases).astype(dtype)  # (L,H,W,1)
-    valid = jnp.stack(masks)  # (L,H,W)
-
-    out = hfnet.forward(params, batch, with_global=True, valid_mask=valid)
-    scores = X.simple_nms(out["scores_dense"].astype(jnp.float32), cfg["nms_radius"])
-    desc_maps = out["desc_map"].astype(jnp.float32)
-    global_desc = out["global_desc"][0].astype(jnp.float32)  # level 0 only
-
-    # ---- per-level keypoint selection ----------------------------------
+    # ---- per-level native-resolution inference + keypoint selection -----
+    # Each level is its own conv workload (distinct static shape); level 0
+    # additionally runs the stride-16/32 backbone tail + NetVLAD head.
     xs, ss, os_, ds, ms = [], [], [], [], []
+    global_desc = None
     for lvl in range(L):
         h, w = cfg["level_hw"][lvl]
+        lv = image if lvl == 0 else jax.image.resize(
+            image, (h, w, 1), method="bilinear"
+        )
+        lv = lv[None].astype(dtype)
+        if lvl == 0:
+            out = hfnet.forward(params, lv, with_global=True)
+            scores_dense, desc_map = out["scores_dense"], out["desc_map"]
+            global_desc = out["global_desc"][0].astype(jnp.float32)
+        else:
+            local_feat = hfnet.backbone_local(params, lv)
+            scores_dense, desc_map = hfnet.local_head(params, local_feat)
+        scores = X.simple_nms(
+            scores_dense.astype(jnp.float32), cfg["nms_radius"]
+        )[0]
+        dm = desc_map[0].astype(jnp.float32)
+
         k = max(int(cfg["budgets"][lvl]), 1)
-        # exclude canvas padding; the score map is canvas-sized
-        lvl_valid = valid[lvl]
-        xy, sc, mk = X.select_keypoints(scores[lvl], lvl_valid, cfg["threshold"], k)
-        # The level's pixels sit top-left on the canvas, so its descriptor
-        # map is the static top-left (h/8, w/8) slice of the canvas map;
-        # sampling then uses the reference's own (w/8-1)/(w-1) align-corners
+        xy, sc, mk = X.select_keypoints(scores, None, cfg["threshold"], k)
+        # Sampling uses the reference's own (w/8-1)/(w-1) align-corners
         # convention exactly (HFNetRTModel.cc:147-149).
-        dm = desc_maps[lvl][: h // 8, : w // 8]
         desc = X.sample_descriptors(dm, xy, (h, w))
         scale = cfg["scales"][lvl]
         xs.append(xy * scale)

@@ -149,16 +149,32 @@ def _expanded_block(x, blk, expansion, stride):
     return h
 
 
-def backbone(params, image):
-    """image: (B,H,W,1) raw grayscale [0,255]. Returns (local_feat, global_feat):
-    (B,H/8,W/8,128) and (B,H/32,W/32,320). H and W must be multiples of 32."""
+def backbone_local(params, image):
+    """Backbone truncated at the local endpoint (layer_7, stride 8).
+
+    image: (B,H,W,1) raw grayscale [0,255], H,W multiples of 8.
+    Returns (B,H/8,W/8,128). This is the `kImageToLocal` mode of the
+    reference (BaseModel.h:16-21): pyramid levels > 0 never need the
+    stride-16/32 global path, so 11 of the 17 MobileNet blocks are skipped."""
     x = (image - 128.0) / 128.0  # layers.py:6-7 image_normalization
     x = _relu6(_conv(x, params["conv0"]["w"], params["conv0"]["b"], stride=2))
-    local_feat = None
-    for i, ((expansion, stride, cout), blk) in enumerate(zip(BLOCKS, params["blocks"])):
+    for (expansion, stride, cout), blk in zip(
+        BLOCKS[: LOCAL_ENDPOINT + 1], params["blocks"][: LOCAL_ENDPOINT + 1]
+    ):
         x = _expanded_block(x, blk, expansion, stride)
-        if i == LOCAL_ENDPOINT:
-            local_feat = x
+    return x
+
+
+def backbone(params, image):
+    """image: (B,H,W,1) raw grayscale [0,255]. Returns (local_feat, global_feat):
+    (B,H/8,W/8,128) and (B,H/32,W/32,320). H and W must be multiples of 8
+    (SAME padding handles the stride-16/32 tail)."""
+    local_feat = backbone_local(params, image)
+    x = local_feat
+    for (expansion, stride, cout), blk in zip(
+        BLOCKS[LOCAL_ENDPOINT + 1 :], params["blocks"][LOCAL_ENDPOINT + 1 :]
+    ):
+        x = _expanded_block(x, blk, expansion, stride)
     return local_feat, x
 
 

@@ -51,11 +51,12 @@ def select_keypoints(scores, valid_mask, threshold: float, k: int):
     """Top-K keypoints above threshold from a (H,W) score map.
 
     Returns (xy (k,2) float32 [x,y], score (k,), mask (k,)). Invalid slots
-    have score 0 and mask False. Mirrors the threshold scan + nth_element
-    of HFNetRTModel.cc:155-179 (ties broken by flat index instead of scan
-    order)."""
+    have score 0 and mask False. valid_mask may be None (whole map valid).
+    Mirrors the threshold scan + nth_element of HFNetRTModel.cc:155-179
+    (ties broken by flat index instead of scan order)."""
     H, W = scores.shape
-    s = jnp.where(valid_mask, scores, 0.0).reshape(-1)
+    s = scores if valid_mask is None else jnp.where(valid_mask, scores, 0.0)
+    s = s.reshape(-1)
     vals, idx = jax.lax.top_k(s, k)
     ys = (idx // W).astype(jnp.float32)
     xs = (idx % W).astype(jnp.float32)
