@@ -13,7 +13,7 @@ HFextractor.cc:221-265).
 Parameters are stored inference-ready: every conv carries (w, b) with batch
 norm already folded (see `fold_bn`), matching how TensorRT consumes the
 graph. Weight import from the public TF checkpoint goes through
-`models/import_npz.py`.
+`tools/convert_hfnet_weights.py`.
 
 Architecture (from MOBILENET_DEF, hf_net.py:29-52):
   layer_1 : conv 3x3 s2, 32

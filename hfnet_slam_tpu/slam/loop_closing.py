@@ -272,6 +272,34 @@ class LoopCloser:
         pre_R = store.kf_R.copy()
         pre_t = store.kf_t.copy()
 
+        S_cw, window = self.propagate_window_correction(k, cand, R_cm, t_cm, s_cm)
+
+        # fuse loop landmarks into the corrected window (SearchAndFuse :2255)
+        self._fuse_loop_points(window, loop_mps)
+
+        # ---- essential graph (Optimizer.cc:1501) ------------------------
+        self._essential_graph(kf_ids, pre_R, pre_t, k, cand,
+                              (R_cm, t_cm, s_cm), window)
+        store.loop_edges.append((int(cand), int(k)))
+
+        # ---- global BA (:2408) ------------------------------------------
+        if cfg.run_gba and self.mapper is not None:
+            self.mapper.run_global_ba(
+                fixed_ids=[int(cand)], rounds=cfg.gba_rounds,
+                kf_cap=cfg.gba_kf_cap, mp_cap=cfg.gba_mp_cap,
+                edge_cap=cfg.gba_edge_cap,
+            )
+        self.stats["corrected"] += 1
+        self.last_loop = (int(k), int(cand))
+
+    def propagate_window_correction(self, k, cand, R_cm, t_cm, s_cm):
+        """Sim3-propagate the loop correction through the current KF's
+        covisible window and its map points (CorrectLoop's propagation
+        stage, LoopClosing.cc:1185-1251). Returns (S_cw, window)."""
+        store = self.store
+        pre_R = store.kf_R.copy()
+        pre_t = store.kf_t.copy()
+
         # corrected Sim3 of the current KF: S_cw = S_cm o T_mw
         Rc, tc = store.kf_R[cand], store.kf_t[cand]
         S_cw = (R_cm @ Rc, s_cm * (R_cm @ tc) + t_cm, s_cm)
@@ -290,9 +318,13 @@ class LoopCloser:
             Ri, ti = store.kf_R[i], store.kf_t[i]
             R_ik = Ri @ Rk.T
             t_ik = ti - R_ik @ tk
-            # S_iw_corr = S_ik o S_cw
+            # S_iw_corr = S_ik o S_cw. S_ik has scale 1, so by the sim3_mul
+            # convention (lie.py: t = s1 * R1 @ t2 + t1) the translation is
+            # R_ik @ t_cw + t_ik — the loop scale s_cw must NOT be applied
+            # again here (it is already inside S_cw[1]). Compare the
+            # reference's g2oSic * mg2oLoopScw (LoopClosing.cc:1185-1251).
             Rn = R_ik @ S_cw[0]
-            tn = S_cw[2] * (R_ik @ S_cw[1]) + t_ik
+            tn = R_ik @ S_cw[1] + t_ik
             corr_R[i], corr_t[i], corr_s[i] = Rn, tn, S_cw[2]
 
         # move window map points: p' = S_corr^{-1}(T_old(p)) (:1185-1251)
@@ -320,24 +352,7 @@ class LoopCloser:
         for i in window:
             store.kf_R[i] = corr_R[i]
             store.kf_t[i] = corr_t[i] / corr_s[i]
-
-        # fuse loop landmarks into the corrected window (SearchAndFuse :2255)
-        self._fuse_loop_points(window, loop_mps)
-
-        # ---- essential graph (Optimizer.cc:1501) ------------------------
-        self._essential_graph(kf_ids, pre_R, pre_t, k, cand,
-                              (R_cm, t_cm, s_cm), window)
-        store.loop_edges.append((int(cand), int(k)))
-
-        # ---- global BA (:2408) ------------------------------------------
-        if cfg.run_gba and self.mapper is not None:
-            self.mapper.run_global_ba(
-                fixed_ids=[int(cand)], rounds=cfg.gba_rounds,
-                kf_cap=cfg.gba_kf_cap, mp_cap=cfg.gba_mp_cap,
-                edge_cap=cfg.gba_edge_cap,
-            )
-        self.stats["corrected"] += 1
-        self.last_loop = (int(k), int(cand))
+        return S_cw, window
 
     def _fuse_loop_points(self, window, loop_mps):
         """Project loop map points into each corrected window KF and merge

@@ -149,6 +149,70 @@ class TestPoseGraph:
 
 
 # ---------------------------------------------------------------------------
+# Sim3 window propagation (CorrectLoop's :1185-1251 stage) with scale != 1.
+# Guards the composition S_iw = S_ik o S_cw against double-applying the loop
+# scale (the exact regime loop closing exists for: monocular scale drift).
+# ---------------------------------------------------------------------------
+
+class TestSim3Propagation:
+    def _feats(self, n_slots, desc_dim, rng):
+        from hfnet_slam_tpu.models.extractor import Features
+
+        d = rng.standard_normal((n_slots, desc_dim)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        return Features(
+            xy=jnp.zeros((n_slots, 2)), score=jnp.ones(n_slots),
+            octave=jnp.zeros(n_slots, jnp.int32), desc=jnp.asarray(d),
+            mask=jnp.ones(n_slots, bool), global_desc=jnp.zeros(8),
+        )
+
+    def test_window_correction_with_scaled_drift(self):
+        from hfnet_slam_tpu.slam.loop_closing import LoopCloser, LoopCloserConfig
+        from hfnet_slam_tpu.slam.map import MapStore
+
+        rng = np.random.default_rng(3)
+        cam = make_cam()
+        store = MapStore(k_max=16, m_max=512, n_slots=64, desc_dim=8, gdesc_dim=8)
+        s_g = 1.15
+        R_g = np.asarray(lie.so3_exp(jnp.asarray([0.02, -0.01, 0.05], jnp.float32)))
+        t_g = np.array([0.3, -0.1, 0.2], np.float32)
+
+        # true world points + true camera poses (cand=0 at identity)
+        pts = rng.uniform(-2, 2, (60, 3)).astype(np.float32) + [0, 0, 8]
+        true_R, true_t = [np.eye(3, dtype=np.float32)], [np.zeros(3, np.float32)]
+        for i in range(1, 4):
+            true_R.append(np.asarray(lie.so3_exp(jnp.asarray([0, 0.05 * i, 0], jnp.float32))))
+            true_t.append(np.array([0.4 * i, 0.0, 0.1 * i], np.float32))
+
+        # drifted map: points p' = s R_g p + t_g; poses T'_i = [R_i R_g^T,
+        # s t_i - R_i R_g^T t_g] (projections unchanged; camera depths x s)
+        pts_d = s_g * pts @ R_g.T + t_g
+        feats0 = self._feats(64, 8, rng)
+        store.add_keyframe(true_R[0], true_t[0], feats0, 0.0)  # cand, true frame
+        ids = store.add_points(pts_d, np.asarray(feats0.desc)[:60], first_kf=0)
+        for i in range(1, 4):
+            Rd = true_R[i] @ R_g.T
+            td = s_g * true_t[i] - Rd @ t_g
+            k = store.add_keyframe(Rd, td, self._feats(64, 8, rng), float(i),
+                                   obs=np.concatenate([ids, -np.ones(4, np.int32)]))
+            store.update_covisibility(k)
+
+        lc = LoopCloser(cam, store, LoopCloserConfig())
+        # measured Sim3 cand-cam -> current-cam: true relative SE3 with the
+        # drift scale on translation (3D-3D pairs are drifted-vs-true)
+        kcur = 3
+        R_cm = true_R[kcur] @ true_R[0].T
+        t_cm = s_g * (true_t[kcur] - R_cm @ true_t[0])
+        S_cw, window = lc.propagate_window_correction(kcur, 0, R_cm, t_cm, s_g)
+
+        assert set(window) == {1, 2, 3}
+        for i in (1, 2, 3):
+            np.testing.assert_allclose(store.kf_R[i], true_R[i], atol=1e-5)
+            np.testing.assert_allclose(store.kf_t[i], true_t[i], atol=1e-5)
+        np.testing.assert_allclose(store.mp_pos[ids], pts, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
 # retrieval (KeyFrameDatabase analogue)
 # ---------------------------------------------------------------------------
 

@@ -34,11 +34,12 @@ via tf.train.load_checkpoint) or a .npz of name->array pairs.
 """
 from __future__ import annotations
 
+import pathlib
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from hfnet_slam_tpu.models import hfnet  # noqa: E402
 
@@ -152,6 +153,10 @@ def load_source(path: str) -> dict:
 
 
 def main():
+    if len(sys.argv) != 3:
+        print("usage: python tools/convert_hfnet_weights.py <ckpt-or-npz> <out.npz>",
+              file=sys.stderr)
+        raise SystemExit(2)
     src, dst = sys.argv[1], sys.argv[2]
     params = convert(load_source(src))
     hfnet.save_params(dst, params)
