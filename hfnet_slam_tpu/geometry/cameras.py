@@ -12,11 +12,18 @@ the per-frame hot path inside Gauss-Newton).
 Param layout:
   PINHOLE: [fx, fy, cx, cy]
   KB8:     [fx, fy, cx, cy, k0, k1, k2, k3]   (theta-polynomial fisheye)
+
+Lens distortion (radial-tangential, the reference's Pinhole + cv dist
+coefficients) is handled by undistorting keypoints once per frame
+(Frame::UndistortKeyPoints, /root/reference/src/Frame.cc) — the rest of
+the pipeline then works in the ideal pinhole frame. `Camera.dist` holds
+[k1, k2, p1, p2, k3] when the rig is distorted; see undistort_points().
 """
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +42,9 @@ class Camera:
     params: jnp.ndarray  # (4,) or (8,)
     width: int
     height: int
+    # radial-tangential coefficients [k1,k2,p1,p2,k3] for a distorted
+    # PINHOLE rig; None = ideal (rectified / KB8 handles its own model)
+    dist: Optional[jnp.ndarray] = None
 
     def project(self, pc):
         return project(self.kind, self.params, pc)
@@ -44,6 +54,13 @@ class Camera:
 
     def project_jac(self, pc):
         return project_jac(self.kind, self.params, pc)
+
+    def undistort(self, uv):
+        """Distorted pixel keypoints -> ideal-pinhole pixels (identity when
+        the rig has no distortion)."""
+        if self.dist is None:
+            return uv
+        return undistort_points(self.params, self.dist, uv)
 
     @property
     def fx(self):
@@ -59,8 +76,22 @@ class Camera:
         return jnp.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]], dtype=self.params.dtype)
 
 
-def pinhole(fx, fy, cx, cy, width, height):
-    return Camera(PINHOLE, jnp.array([fx, fy, cx, cy], dtype=jnp.float32), width, height)
+def pinhole(fx, fy, cx, cy, width, height, dist=None):
+    """dist: optional radial-tangential coefficients (k1,k2[,p1,p2[,k3]])."""
+    d = None
+    if dist is not None:
+        d = np_pad_dist(dist)
+        if not float(jnp.abs(d).max()):
+            d = None
+    return Camera(PINHOLE, jnp.array([fx, fy, cx, cy], dtype=jnp.float32),
+                  width, height, dist=d)
+
+
+def np_pad_dist(dist):
+    """Normalize distortion coefficients to a (5,) [k1,k2,p1,p2,k3] array."""
+    d = jnp.zeros(5, jnp.float32)
+    vals = jnp.asarray(tuple(dist), jnp.float32)
+    return d.at[: vals.shape[0]].set(vals[:5])
 
 
 def kb8(fx, fy, cx, cy, k0, k1, k2, k3, width, height):
@@ -175,6 +206,57 @@ def project_jac(kind, params, pc):
         )
         return jnp.stack([row_u, row_v], axis=-2)
     raise ValueError(f"unknown camera kind {kind}")
+
+
+# ---------------------------------------------------------------------------
+# radial-tangential lens distortion (pinhole rigs; Frame::UndistortKeyPoints)
+# ---------------------------------------------------------------------------
+
+def _radtan_apply(dist, x, y):
+    """Forward distortion on normalized coords: ideal (x,y) -> distorted."""
+    k1, k2, p1, p2, k3 = dist[0], dist[1], dist[2], dist[3], dist[4]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return xd, yd
+
+
+def distort_points(params, dist, uv):
+    """Ideal-pinhole pixels (...,2) -> distorted pixels (the raw-sensor
+    model; used by tests to synthesize distorted observations)."""
+    fx, fy, cx, cy = params[0], params[1], params[2], params[3]
+    x = (uv[..., 0] - cx) / fx
+    y = (uv[..., 1] - cy) / fy
+    xd, yd = _radtan_apply(dist, x, y)
+    return jnp.stack([fx * xd + cx, fy * yd + cy], axis=-1)
+
+
+@partial(jax.jit)
+def undistort_points(params, dist, uv):
+    """Distorted pixels (...,2) -> ideal-pinhole pixels.
+
+    Fixed-point inverse of the radial-tangential model (the reference uses
+    cv::undistortPoints, an identical iteration): start at the distorted
+    normalized coords and iterate x <- (xd - tangential(x)) / radial(x).
+    10 iterations converge to <1e-4 px for EuRoC-grade distortion
+    (k1=-0.28, /root/reference/Examples/Monocular/EuRoC.yaml:28-31)."""
+    fx, fy, cx, cy = params[0], params[1], params[2], params[3]
+    k1, k2, p1, p2, k3 = dist[0], dist[1], dist[2], dist[3], dist[4]
+    xd = (uv[..., 0] - cx) / fx
+    yd = (uv[..., 1] - cy) / fy
+
+    def step(xy, _):
+        x, y = xy
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        inv = 1.0 / jnp.maximum(radial, 1e-3)
+        return ((xd - dx) * inv, (yd - dy) * inv), None
+
+    (x, y), _ = jax.lax.scan(step, (xd, yd), None, length=10)
+    return jnp.stack([fx * x + cx, fy * y + cy], axis=-1)
 
 
 def in_image(cam: Camera, uv, margin=0.0):

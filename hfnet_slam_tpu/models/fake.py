@@ -123,6 +123,12 @@ class FakeExtractor:
         pc = self.world.landmarks @ R_cw.T + t_cw
         z = pc[:, 2]
         uv = np.asarray(self.cam.project(jnp.asarray(pc)))
+        if self.cam.dist is not None:
+            # a distorted rig measures raw-sensor pixels; the SLAM system
+            # undistorts them back (Frame::UndistortKeyPoints parity test
+            # path: both sides get the same distorted Camera)
+            uv = np.asarray(cameras.distort_points(
+                self.cam.params, self.cam.dist, jnp.asarray(uv)))
         vis = (
             (z > self.min_depth)
             & (z < self.max_depth)

@@ -130,6 +130,12 @@ class SLAMSystem:
 
     def track_features(self, feats, timestamp: float, depth=None, imu=None):
         """Feed pre-extracted features (testing / offline pipelines)."""
+        if self.cam.dist is not None:
+            # keypoint undistortion (Frame::UndistortKeyPoints,
+            # src/Frame.cc): everything downstream works in the ideal
+            # pinhole frame. Depth (RGB-D) was already sampled at the raw
+            # pixel, which is where the sensor measured it.
+            feats = feats._replace(xy=self.cam.undistort(feats.xy))
         out = self.tracker.track(feats, timestamp, depth=depth, imu=imu)
         if out[0] == LOST:
             self._handle_lost()

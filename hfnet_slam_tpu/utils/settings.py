@@ -144,9 +144,11 @@ class Settings:
 
     # ------------------------------------------------------------------
     def make_camera(self):
-        """Build the geometry camera. Distortion is handled by keypoint
-        undistortion at extraction (the reference pre-undistorts too,
-        Frame::UndistortKeyPoints)."""
+        """Build the geometry camera. A distorted PinHole rig carries its
+        radial-tangential coefficients; the system undistorts keypoints
+        once per frame (the reference pre-undistorts too,
+        Frame::UndistortKeyPoints). `Rectified` means the images were
+        already undistorted upstream."""
         from ..geometry import cameras
 
         w = self.new_width or self.width
@@ -154,8 +156,11 @@ class Settings:
         sx = w / self.width if self.width else 1.0
         sy = h / self.height if self.height else 1.0
         if self.camera_type in ("PinHole", "Rectified"):
+            dist = self.dist if (self.camera_type == "PinHole" and
+                                 any(self.dist)) else None
             return cameras.pinhole(self.fx * sx, self.fy * sy,
-                                   self.cx * sx, self.cy * sy, w, h)
+                                   self.cx * sx, self.cy * sy, w, h,
+                                   dist=dist)
         if self.camera_type == "KannalaBrandt8":
             k = (list(self.dist) + [0.0] * 4)[:4]
             return cameras.kb8(self.fx * sx, self.fy * sy,

@@ -133,3 +133,28 @@ class TestTwoView:
         z = np.array(res["points"][:, 2])[good]
         z_gt = np.array(self._gt_p1[:, 2])[good] * scale
         assert np.median(np.abs(z - z_gt) / z_gt) < 0.05
+
+
+def test_radtan_undistort_roundtrip():
+    """Iterative inverse of the radial-tangential model: distort -> undistort
+    must round-trip to well under 0.05 px with EuRoC coefficients."""
+    import jax.numpy as jnp
+    from hfnet_slam_tpu.geometry import cameras as C
+
+    params = jnp.asarray([458.654, 457.296, 367.215, 248.375], jnp.float32)
+    dist = C.np_pad_dist((-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05))
+    rng = np.random.default_rng(0)
+    uv = rng.uniform((40, 40), (710, 440), (500, 2)).astype(np.float32)
+    uv_d = C.distort_points(params, dist, jnp.asarray(uv))
+    uv_u = C.undistort_points(params, dist, uv_d)
+    err = np.abs(np.asarray(uv_u) - uv).max()
+    assert err < 0.05, f"max round-trip error {err:.4f} px"
+
+
+def test_undistort_identity_without_dist():
+    from hfnet_slam_tpu.geometry import cameras as C
+
+    cam = C.pinhole(450.0, 450.0, 320.0, 240.0, 640, 480)
+    assert cam.dist is None
+    cam0 = C.pinhole(450.0, 450.0, 320.0, 240.0, 640, 480, dist=(0.0, 0.0))
+    assert cam0.dist is None  # all-zero coefficients collapse to ideal

@@ -159,3 +159,23 @@ def test_map_save_load_roundtrip(browse_run, tmp_path):
     np.testing.assert_array_equal(m2.kf_obs, sys_.store.kf_obs)
     np.testing.assert_allclose(m2.mp_pos, sys_.store.mp_pos)
     assert m2.n_kf == sys_.store.n_kf
+
+
+def test_distorted_rig_tracks_accurately():
+    """Keypoint undistortion (Frame::UndistortKeyPoints parity): the fake
+    sensor emits raw radial-tangentially distorted pixels (EuRoC-grade
+    k1=-0.28, /root/reference/Examples/Monocular/EuRoC.yaml:28-31); the
+    system must undistort them and track as accurately as the ideal rig."""
+    cam = cameras.pinhole(450.0, 450.0, 320.0, 240.0, 640, 480,
+                          dist=(-0.2834, 0.0739, 2.0e-4, 1.76e-5))
+    world = SyntheticWorld.cloud(seed=5, n_landmarks=1400, extent=16.0,
+                                 center=(0, 0, 10.0), desc_dim=64)
+    ext = FakeExtractor(world, cam, pad_to=512, noise_px=0.3,
+                        desc_noise=0.03, max_landmarks_per_frame=480, seed=7)
+    sys_ = small_system(cam, ext, min_init_med_parallax_deg=4.0)
+    gt = browse_trajectory(60)
+    est, gtc = run_sequence(sys_, ext, gt)
+    assert sys_.tracker.state == OK
+    err = ate.ate_rmse(est, gtc, with_scale=True)
+    path = np.linalg.norm(np.diff(gtc, axis=0), axis=1).sum()
+    assert err < 0.07 * path, f"ATE {err:.3f} m over {path:.1f} m path"
