@@ -67,12 +67,78 @@ def main():
         jax.block_until_ready(out.desc)
         best = min(best, (time.perf_counter() - t0) * 1e3 / n)
     ms = best
-    print(json.dumps({
+    line = {
         "metric": "pyramid_extraction_latency",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 3),
-    }))
+    }
+    if "--e2e" in sys.argv or smoke:
+        fps_slam, n_kf = slam_loop_fps(smoke)
+        # pipeline model: extraction (device) + SLAM stack per frame.
+        # The reference's ~50 FPS (README.md:15-17) is the same workload on
+        # an RTX 2070 Max-Q with three CPU worker threads.
+        total_ms = ms + 1000.0 / fps_slam
+        line["extra"] = {
+            "slam_stack_fps": round(fps_slam, 2),
+            "slam_e2e_fps": round(1000.0 / total_ms, 2),
+            "e2e_vs_50fps": round((1000.0 / total_ms) / 50.0, 3),
+            "keyframes": n_kf,
+        }
+    print(json.dumps(line))
+
+
+def slam_loop_fps(smoke: bool):
+    """Sustained frames/s of the full SLAM stack (tracking + ASYNC mapping
+    + loop closing, slam/pipeline.py) on a synthetic browse sequence with
+    the deterministic fake extractor. Measures everything except CNN
+    extraction, which is timed separately above (the two compose into the
+    end-to-end pipeline estimate)."""
+    from hfnet_slam_tpu.geometry import cameras
+    from hfnet_slam_tpu.models.fake import FakeExtractor, SyntheticWorld
+    from hfnet_slam_tpu.slam.local_mapping import MapperConfig
+    from hfnet_slam_tpu.slam.system import SLAMSystem, SystemConfig
+    from hfnet_slam_tpu.slam.tracking import TrackerConfig
+
+    cam = cameras.pinhole(450.0, 450.0, 320.0, 240.0, 640, 480)
+    world = SyntheticWorld.cloud(seed=5, n_landmarks=1400, extent=16.0,
+                                 center=(0, 0, 10.0), desc_dim=64)
+    ext = FakeExtractor(world, cam, pad_to=512, noise_px=0.3,
+                        desc_noise=0.03, max_landmarks_per_frame=480, seed=7)
+    cfg = SystemConfig(
+        k_max=128, m_max=8192, n_slots=512, desc_dim=64, gdesc_dim=64,
+        async_mapping=True,
+        tracker=TrackerConfig(local_mp_cap=2048, min_init_med_parallax_deg=4.0),
+        mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=2048, ba_edge_cap=8192,
+                            tri_neighbors=5),
+    )
+    sys_ = SLAMSystem(cam, ext, cfg)
+    n_frames = 30 if smoke else 120
+
+    def gt_pose(i):
+        th = 0.010 * i
+        r = 10.0
+        c = np.array([r * np.sin(th), 0.4 * np.sin(0.07 * i), r - r * np.cos(th)])
+        fwd = np.array([0.0, 0.0, r]) - c
+        fwd /= np.linalg.norm(fwd)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        R_wc = np.stack([right, np.cross(fwd, right), fwd], 1)
+        return R_wc.T.astype(np.float32), (-R_wc.T @ c).astype(np.float32)
+
+    # warm-up: initialize + compile every kernel on a prefix
+    for i in range(12):
+        sys_.track_features(ext(*gt_pose(i)), 0.05 * i)
+    sys_.finish()
+    t0 = time.perf_counter()
+    for i in range(12, n_frames):
+        sys_.track_features(ext(*gt_pose(i)), 0.05 * i)
+    dt = time.perf_counter() - t0  # tracking-thread rate: mapping overlaps
+    sys_.finish()
+    n_kf = int(sys_.store.kf_valid.sum())
+    sys_.shutdown()
+    return (n_frames - 12) / dt, n_kf
 
 
 if __name__ == "__main__":

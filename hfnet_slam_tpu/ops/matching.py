@@ -137,3 +137,32 @@ def global_scores_batch(queries, db, db_mask):
     s = jnp.dot(queries, db.T, preferred_element_type=jnp.float32)
     d = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s, 0.0))
     return jnp.where(db_mask[None, :], jnp.maximum(0.0, 1.0 - d), 0.0)
+
+
+@jax.jit
+def distinctive_descriptors(descs, mask):
+    """Best representative descriptor per point: the observation whose
+    median squared distance to all other observations is smallest
+    (MapPoint::ComputeDistinctiveDescriptors, reference src/MapPoint.cc,
+    with float L2 distances). Batched over points on the MXU.
+
+    descs: (P, O, D) unit descriptors of up to O observations per point.
+    mask:  (P, O) validity.
+    Returns (P, D) best descriptors ((P,) zeros where no valid obs).
+    """
+    sim = jnp.einsum("pod,pnd->pon", descs, descs)
+    d2 = jnp.maximum(2.0 - 2.0 * sim, 0.0)
+    BIG = 8.0
+    pair_ok = mask[:, :, None] & mask[:, None, :]
+    d2 = jnp.where(pair_ok, d2, BIG)
+    d2s = jnp.sort(d2, axis=2)  # invalid entries sort to the end
+    n_valid = mask.sum(axis=1)
+    med_idx = jnp.clip(n_valid // 2, 0, d2.shape[2] - 1)
+    med = jnp.take_along_axis(
+        d2s, jnp.broadcast_to(med_idx[:, None, None], d2s.shape[:2] + (1,)),
+        axis=2,
+    )[..., 0]
+    med = jnp.where(mask, med, jnp.inf)
+    best = jnp.argmin(med, axis=1)
+    out = jnp.take_along_axis(descs, best[:, None, None], axis=1)[:, 0]
+    return jnp.where(mask.any(axis=1)[:, None], out, 0.0)

@@ -36,9 +36,9 @@ from .map import MapStore
 @dataclasses.dataclass
 class MapperConfig:
     # triangulation (CreateNewMapPoints, LocalMapping.cc:513-533: nn=30
-    # mono; we keep it configurable — each neighbor is one fixed-shape
-    # kernel call)
-    tri_neighbors: int = 10
+    # mono; each neighbor is one fixed-shape kernel call, so synthetic test
+    # configs scale this down)
+    tri_neighbors: int = 30
     tri_min_covis: int = 15
     # mono baseline gate: baseline / median scene depth (LocalMapping.cc:603)
     min_baseline_depth_ratio: float = 0.01
@@ -54,12 +54,12 @@ class MapperConfig:
     cull_found_ratio: float = 0.25
     cull_min_obs: int = 2        # after 2 KFs need >= 3 observations
     cull_horizon_kfs: int = 3
-    # keyframe culling (LocalMapping.cc:1090: 90% redundancy). Disabled by
-    # default: with single-octave features + fuse the redundancy test is
-    # trivially satisfied and culling deletes the long-baseline anchor KFs
-    # that pin monocular depth (the reference's same-or-finer-scale
-    # condition is what keeps it rare there). Re-enable per-config.
-    kf_cull_redundancy: float = 1.01
+    # keyframe culling (LocalMapping.cc:1090-1229): cull when >=90% of a
+    # KF's points are seen by >=3 OTHER keyframes at the same or finer
+    # scale (scaleLeveli <= scaleLevel + 1). The age gate below protects
+    # fresh long-baseline anchors when features are flat-octave (the fake
+    # extractor), where the scale condition is trivially satisfied.
+    kf_cull_redundancy: float = 0.9
     kf_cull_min_obs: int = 3
     # protect recent KFs: they anchor triangulation of newly seen landmarks
     # (the reference's scale-aware redundancy test achieves this implicitly;
@@ -72,12 +72,6 @@ class MapperConfig:
     ba_edge_cap: int = 16384
     ba_local_kfs: int = 12
     ba_rounds: tuple = ((5, True), (10, True))
-    # run local BA every Nth keyframe. Round-1 stabilizer: with synchronous
-    # mapping a KF (and hence an LBA) can fire every frame, and per-frame
-    # pose/point re-compromise amplifies monocular depth noise into
-    # tracking collapse; spacing LBAs damps the loop. Goes away once
-    # mapping runs asynchronously like the reference's LocalMapping thread.
-    ba_interval: int = 4
     # initial (2-KF global) BA — GlobalBundleAdjustemnt(20) at Tracking.cc:1884
     init_ba_rounds: tuple = ((20, True),)
     # stereo depth-edge weight base bf = fx*baseline (0 = mono-only edges)
@@ -100,6 +94,12 @@ class LocalMapper:
         self.store = store
         self.cfg = cfg or MapperConfig()
         self.vim = None  # slam.vi.VIManager when visual-inertial (set by System)
+        # map lock (Map::mMutexMapUpdate analogue): a no-op in the
+        # synchronous pipeline; the async MappingWorker injects a real
+        # RLock shared with the tracking thread. Host read/write sections
+        # hold it; jitted device solves run without it (slam/pipeline.py).
+        from .pipeline import NULL_LOCK
+        self.lock = NULL_LOCK
         # (mp_id, n_kf at creation) for MapPointCulling's age window
         self.recent_points: list[tuple[int, int]] = []
         self.kf_count = 0
@@ -115,20 +115,31 @@ class LocalMapper:
         self._run_ba([kf0, kf1], fixed_ids=[kf0], rounds=self.cfg.init_ba_rounds)
 
     def process_keyframe(self, k: int):
-        """The per-keyframe mapping pipeline (LocalMapping::Run body)."""
-        self.kf_count += 1
-        self.kf_born[k] = self.kf_count
-        self.cull_map_points()
-        self.create_new_points(k)
-        self.fuse_neighbors(k)
-        if self.kf_count % max(self.cfg.ba_interval, 1) == 0:
-            # once the IMU is initialized the window BA is visual-inertial
-            # (LocalMapping.cc:168: LocalInertialBA when IMU_INITIALIZED)
-            if self.vim is not None and self.store.imu_initialized:
-                self.local_inertial_ba(k, self.vim)
-            else:
-                self.local_ba(k)
-        self.cull_keyframes(k)
+        """The per-keyframe mapping pipeline (LocalMapping::Run body).
+        Local BA runs on EVERY keyframe like the reference
+        (LocalMapping.cc:168-173); in async mode its device solve overlaps
+        tracking (the round-1 ba_interval stabilizer is gone)."""
+        with self.lock:
+            self.kf_count += 1
+            self.kf_born[k] = self.kf_count
+            self.cull_map_points()
+            self.create_new_points(k)
+            self.fuse_neighbors(k)
+            # map-point maintenance (MapPoint::ComputeDistinctiveDescriptors
+            # + UpdateNormalAndDepth after new observations, src/MapPoint.cc)
+            seen = self.store.kf_obs[k]
+            seen = np.unique(seen[seen >= 0])
+            self.store.refresh_point_descriptors(seen)
+            self.store.update_point_stats(seen)
+        # once the IMU is initialized the window BA is visual-inertial
+        # (LocalMapping.cc:168: LocalInertialBA when IMU_INITIALIZED).
+        # The BA entry points manage the lock internally (solve unlocked).
+        if self.vim is not None and self.store.imu_initialized:
+            self.local_inertial_ba(k, self.vim)
+        else:
+            self.local_ba(k)
+        with self.lock:
+            self.cull_keyframes(k)
 
     # ------------------------------------------------------------------
     # map point culling (LocalMapping.cc:406)
@@ -299,41 +310,115 @@ class LocalMapper:
     # local BA (Optimizer::LocalBundleAdjustment, Optimizer.cc:1116)
     # ------------------------------------------------------------------
     def local_ba(self, k: int):
-        store = self.store
-        cfg = self.cfg
-        local = store.covisible_kfs(k, n=cfg.ba_local_kfs, min_weight=1)
-        local = np.unique(np.append(local, k))
-        mp_ids = store.points_seen_by(local)
-        if len(mp_ids) == 0:
-            return
-        # observers of local points that are not local are fixed anchors
-        kf_e, _, _ = store.observing_slots(mp_ids)
-        all_kfs = np.unique(kf_e)
-        fixed = np.setdiff1d(all_kfs, local)
-        # gauge: the reference fixes the map's init KF (Optimizer.cc:1219)
-        # plus all external observer KFs. With fewer than TWO fixed cameras a
-        # monocular problem has a free scale gauge and the map scale drifts
-        # on every solve — pin at least the two oldest involved KFs.
-        fixed_ids = set(int(i) for i in fixed) | {int(all_kfs.min())}
-        for cand in sorted(int(i) for i in all_kfs):
-            if len(fixed_ids) >= 2:
-                break
-            fixed_ids.add(cand)
+        with self.lock:
+            store = self.store
+            cfg = self.cfg
+            local = store.covisible_kfs(k, n=cfg.ba_local_kfs, min_weight=1)
+            local = np.unique(np.append(local, k))
+            mp_ids = store.points_seen_by(local)
+            if len(mp_ids) == 0:
+                return
+            # observers of local points that are not local are fixed anchors
+            kf_e, _, _ = store.observing_slots(mp_ids)
+            all_kfs = np.unique(kf_e)
+            fixed = np.setdiff1d(all_kfs, local)
+            # gauge: the reference fixes the map's init KF (Optimizer.cc:1219)
+            # plus all external observer KFs. With fewer than TWO fixed
+            # cameras a monocular problem has a free scale gauge and the map
+            # scale drifts on every solve — pin at least the two oldest
+            # involved KFs.
+            fixed_ids = set(int(i) for i in fixed) | {int(all_kfs.min())}
+            for cand in sorted(int(i) for i in all_kfs):
+                if len(fixed_ids) >= 2:
+                    break
+                fixed_ids.add(cand)
         self._run_ba(list(all_kfs), fixed_ids=fixed_ids, rounds=cfg.ba_rounds,
                      mp_ids=mp_ids)
 
     def run_global_ba(self, fixed_ids, rounds=((10, True),), kf_cap=None,
                       mp_cap=None, edge_cap=None):
         """Full-map BA (GlobalBundleAdjustemnt analogue, Optimizer.cc:52):
-        every valid keyframe and landmark, capacity-capped. Loop closing
-        calls this after the essential graph (LoopClosing.cc:2408)."""
+        every valid keyframe and landmark. When the fixed-shape capacity is
+        smaller than the map, the keyframes/points that did not fit are
+        corrected afterwards by propagating the optimized deltas through
+        the spanning tree (the reference does the same for KFs born during
+        the GBA thread, LoopClosing.cc:2408-2540) — no part of the map is
+        left behind on a stale pose."""
         store = self.store
-        kf_ids = store.valid_kf_ids()
-        if len(kf_ids) < 2:
+        with self.lock:
+            kf_ids = store.valid_kf_ids()
+            if len(kf_ids) < 2:
+                return
+            pre_R = store.kf_R.copy()
+            pre_t = store.kf_t.copy()
+        res = self._run_ba(list(kf_ids), fixed_ids=set(int(i) for i in fixed_ids),
+                           rounds=rounds, kf_cap=kf_cap, mp_cap=mp_cap,
+                           edge_cap=edge_cap)
+        if res is not None:
+            with self.lock:
+                self.propagate_ba_correction(res["kf_ids"], res["mp_ids"],
+                                             pre_R, pre_t, scope=kf_ids)
+
+    def propagate_ba_correction(self, opt_kfs, opt_mps, pre_R, pre_t,
+                                scope=None):
+        """Correct every valid KF/point NOT covered by a (capacity-capped)
+        global solve: each uncovered keyframe rigidly follows its nearest
+        covered anchor (spanning-tree parent chain, then strongest covisible,
+        then nearest-in-time), via T_new = (T_old o T_anc_old^{-1}) o
+        T_anc_new; uncovered points follow their reference keyframe
+        (LoopClosing::RunGlobalBundleAdjustment's propagation,
+        /root/reference/src/LoopClosing.cc:2440-2540)."""
+        store = self.store
+        opt_set = set(int(i) for i in opt_kfs)
+        all_kfs = store.valid_kf_ids() if scope is None else \
+            np.asarray([j for j in scope if store.kf_valid[j]], int)
+        pending = [int(j) for j in all_kfs if int(j) not in opt_set]
+        if pending:
+            covered = np.zeros(store.k_max, bool)
+            covered[list(opt_set)] = True
+            opt_ts = np.asarray(sorted(opt_set))
+            # ascending id: spanning-tree parents are older (lower id), so
+            # one ordered pass resolves chains parent-before-child
+            for j in sorted(pending):
+                anc = int(store.kf_parent[j])
+                if anc < 0 or not (store.kf_valid[anc] and covered[anc]):
+                    w = np.where(covered, store.covis[j], 0)
+                    if w.max() > 0:
+                        anc = int(np.argmax(w))
+                    else:  # last resort: nearest covered in time
+                        dt = np.abs(store.kf_timestamp[opt_ts]
+                                    - store.kf_timestamp[j])
+                        anc = int(opt_ts[np.argmin(dt)])
+                self._apply_delta(j, anc, pre_R, pre_t)
+                covered[j] = True
+        # points outside the solve follow their reference KF
+        mp_all = np.nonzero(store.mp_valid)[0]
+        left = np.setdiff1d(mp_all, np.asarray(opt_mps, int))
+        if len(left) == 0:
             return
-        self._run_ba(list(kf_ids), fixed_ids=set(int(i) for i in fixed_ids),
-                     rounds=rounds, kf_cap=kf_cap, mp_cap=mp_cap,
-                     edge_cap=edge_cap)
+        ref = store.mp_first_kf[left].copy()
+        bad = (ref < 0) | (~store.kf_valid[np.clip(ref, 0, store.k_max - 1)])
+        if bad.any():
+            kf_e, _, mp_e = store.observing_slots(left[bad])
+            first = {}
+            for kf_, mp_ in zip(kf_e, mp_e):
+                first.setdefault(int(mp_), int(kf_))
+            ref[bad] = [first.get(int(m), -1) for m in left[bad]]
+        for g in np.unique(ref):
+            if g < 0 or not store.kf_valid[g]:
+                continue
+            sel = ref == g
+            ids = left[sel]
+            p_cam = store.mp_pos[ids] @ pre_R[g].T + pre_t[g]
+            store.mp_pos[ids] = (p_cam - store.kf_t[g]) @ store.kf_R[g]
+
+    def _apply_delta(self, j, anc, pre_R, pre_t):
+        """T_j_new = (T_j_old o T_anc_old^{-1}) o T_anc_new."""
+        store = self.store
+        R_rel = pre_R[j] @ pre_R[anc].T
+        t_rel = pre_t[j] - R_rel @ pre_t[anc]
+        store.kf_R[j] = R_rel @ store.kf_R[anc]
+        store.kf_t[j] = R_rel @ store.kf_t[anc] + t_rel
 
     def _gather_edges(self, kf_ids, mp_ids, kf_cap, mp_cap, edge_cap):
         """Collect the (kf, slot, mp) observation triples among the given
@@ -390,58 +475,64 @@ class LocalMapper:
         bad = ~out_valid
         if bad.any():
             for kf, slot in zip(kf_e[bad], slot_e[bad]):
-                store.set_observation(int(kf), int(slot), -1)
-            orphans = mp_ids[store.mp_obs_count[mp_ids] < 2]
+                if store.kf_valid[kf]:
+                    store.set_observation(int(kf), int(slot), -1)
+            orphans = mp_ids[store.mp_valid[mp_ids]
+                             & (store.mp_obs_count[mp_ids] < 2)]
             store.remove_points(orphans)
 
     def _run_ba(self, kf_ids, fixed_ids, rounds, mp_ids=None, kf_cap=None,
                 mp_cap=None, edge_cap=None):
         """Build a fixed-capacity BAProblem from the store, solve, write back,
-        and detach outlier observations."""
-        store = self.store
+        and detach outlier observations. The device solve runs outside the
+        map lock (see slam/pipeline.py) so async tracking overlaps it."""
         cfg = self.cfg
         kf_cap = kf_cap or cfg.ba_kf_cap
         mp_cap = mp_cap or cfg.ba_mp_cap
         edge_cap = edge_cap or cfg.ba_edge_cap
-        kf_ids, mp_ids, kf_e, slot_e, mp_e = self._gather_edges(
-            kf_ids, mp_ids, kf_cap, mp_cap, edge_cap)
-        if len(kf_e) == 0:
-            return
-        K, M, E = kf_cap, mp_cap, edge_cap
-        poses_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
-        poses_t = np.zeros((K, 3), np.float32)
-        poses_R[: len(kf_ids)] = store.kf_R[kf_ids]
-        poses_t[: len(kf_ids)] = store.kf_t[kf_ids]
-        fixed = np.ones(K, bool)
-        fixed[: len(kf_ids)] = [int(i) in fixed_ids for i in kf_ids]
+        with self.lock:
+            store = self.store
+            kf_ids, mp_ids, kf_e, slot_e, mp_e = self._gather_edges(
+                kf_ids, mp_ids, kf_cap, mp_cap, edge_cap)
+            if len(kf_e) == 0:
+                return
+            K, M, E = kf_cap, mp_cap, edge_cap
+            poses_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+            poses_t = np.zeros((K, 3), np.float32)
+            poses_R[: len(kf_ids)] = store.kf_R[kf_ids]
+            poses_t[: len(kf_ids)] = store.kf_t[kf_ids]
+            fixed = np.ones(K, bool)
+            fixed[: len(kf_ids)] = [int(i) in fixed_ids for i in kf_ids]
 
-        points = np.zeros((M, 3), np.float32)
-        points[: len(mp_ids)] = store.mp_pos[mp_ids]
+            points = np.zeros((M, 3), np.float32)
+            points[: len(mp_ids)] = store.mp_pos[mp_ids]
 
-        kf_idx, pt_idx, uv, inv_s2, valid, z_meas, wz = self._edge_arrays(
-            kf_ids, mp_ids, kf_e, slot_e, mp_e, K, M, E)
-        n_e = len(kf_e)
+            kf_idx, pt_idx, uv, inv_s2, valid, z_meas, wz = self._edge_arrays(
+                kf_ids, mp_ids, kf_e, slot_e, mp_e, K, M, E)
+            n_e = len(kf_e)
 
-        prob = ba.BAProblem(
-            poses_R=jnp.asarray(poses_R), poses_t=jnp.asarray(poses_t),
-            fixed=jnp.asarray(fixed), points=jnp.asarray(points),
-            kf_idx=jnp.asarray(kf_idx), pt_idx=jnp.asarray(pt_idx),
-            uv=jnp.asarray(uv), inv_sigma2=jnp.asarray(inv_s2),
-            valid=jnp.asarray(valid),
-            z_meas=jnp.asarray(z_meas), wz=jnp.asarray(wz),
-        )
+            prob = ba.BAProblem(
+                poses_R=jnp.asarray(poses_R), poses_t=jnp.asarray(poses_t),
+                fixed=jnp.asarray(fixed), points=jnp.asarray(points),
+                kf_idx=jnp.asarray(kf_idx), pt_idx=jnp.asarray(pt_idx),
+                uv=jnp.asarray(uv), inv_sigma2=jnp.asarray(inv_s2),
+                valid=jnp.asarray(valid),
+                z_meas=jnp.asarray(z_meas), wz=jnp.asarray(wz),
+            )
         out = ba.bundle_adjust(self.cam.kind, self.cam.params, prob, rounds=rounds)
+        out = jax.tree.map(np.asarray, out)  # device sync outside the lock
 
         # ---- write back ------------------------------------------------
-        R_new = np.asarray(out.poses_R)[: len(kf_ids)]
-        t_new = np.asarray(out.poses_t)[: len(kf_ids)]
-        free = ~fixed[: len(kf_ids)]
-        store.kf_R[kf_ids[free]] = R_new[free]
-        store.kf_t[kf_ids[free]] = t_new[free]
-        store.mp_pos[mp_ids] = np.asarray(out.points)[: len(mp_ids)]
-
-        self._detach_outliers(np.asarray(out.valid)[:n_e], kf_e, slot_e,
-                              mp_ids)
+        with self.lock:
+            R_new = out.poses_R[: len(kf_ids)]
+            t_new = out.poses_t[: len(kf_ids)]
+            free = ~fixed[: len(kf_ids)] & store.kf_valid[kf_ids]
+            store.kf_R[kf_ids[free]] = R_new[free]
+            store.kf_t[kf_ids[free]] = t_new[free]
+            alive = store.mp_valid[mp_ids]
+            store.mp_pos[mp_ids[alive]] = out.points[: len(mp_ids)][alive]
+            self._detach_outliers(out.valid[:n_e], kf_e, slot_e, mp_ids)
+        return {"kf_ids": kf_ids, "mp_ids": mp_ids}
 
     # ------------------------------------------------------------------
     # visual-inertial BA (LocalInertialBA / FullInertialBA analogues)
@@ -490,11 +581,18 @@ class LocalMapper:
         kf_ids = [int(i) for i in kf_ids[order][-cfg.fiba_kf_cap:]]
         if len(kf_ids) < 3:
             return
-        self._run_inertial_ba(
+        pre_R = store.kf_R.copy()
+        pre_t = store.kf_t.copy()
+        res = self._run_inertial_ba(
             opt_ids=kf_ids, fixed_ids=[], vim=vim, mp_ids=None,
             rounds=rounds or cfg.fiba_rounds, kf_cap=cfg.fiba_kf_cap,
             prior_g=prior_g, prior_a=prior_a,
         )
+        if res is not None:
+            # keyframes/points older than the temporal window follow the
+            # window boundary so the map stays mutually consistent
+            self.propagate_ba_correction(res["kf_ids"], res["mp_ids"],
+                                         pre_R, pre_t)
 
     def _run_inertial_ba(self, opt_ids, fixed_ids, vim, mp_ids, rounds,
                          kf_cap, prior_g=0.0, prior_a=0.0):
@@ -502,10 +600,12 @@ class LocalMapper:
         solve, write back body states and landmarks."""
         store = self.store
         cfg = self.cfg
+        self.lock.acquire()
         all_ids = sorted(set(int(i) for i in opt_ids) | set(int(i) for i in fixed_ids))
         kf_ids, mp_ids, kf_e, slot_e, mp_e = self._gather_edges(
             all_ids, mp_ids, kf_cap, cfg.iba_mp_cap, cfg.iba_edge_cap)
         if len(kf_e) == 0:
+            self.lock.release()
             return
         K, M, E = kf_cap, cfg.iba_mp_cap, cfg.iba_edge_cap
         nk = len(kf_ids)
@@ -554,6 +654,7 @@ class LocalMapper:
                 pres.append(vim.kf_pre[kf])
                 n_l += 1
         if n_l < 2:
+            self.lock.release()
             return  # no usable chain in the window; plain visual BA covers it
         pres.extend([empty] * (L - n_l))
         pre = jax.tree.map(lambda *xs: jnp.stack(xs), *pres)
@@ -575,10 +676,21 @@ class LocalMapper:
             prior_g=jnp.asarray(float(prior_g), jnp.float32),
             prior_a=jnp.asarray(float(prior_a), jnp.float32),
         )
+        self.lock.release()
         out = vi_ba.vi_bundle_adjust(self.cam.kind, self.cam.params, prob,
                                      rounds=rounds)
+        self.lock.acquire()
+        try:
+            return self._write_back_inertial(out, kf_ids, mp_ids, fixed,
+                                             fix_pose_only, vim, kf_e,
+                                             slot_e, n_e)
+        finally:
+            self.lock.release()
 
-        # ---- write back --------------------------------------------------
+    def _write_back_inertial(self, out, kf_ids, mp_ids, fixed, fix_pose_only,
+                             vim, kf_e, slot_e, n_e):
+        store = self.store
+        nk = len(kf_ids)
         free = ~fixed[:nk]
         R_b = np.asarray(out.R_wb)[:nk]
         p_b = np.asarray(out.p_wb)[:nk]
@@ -599,6 +711,7 @@ class LocalMapper:
         store.mp_pos[mp_ids] = np.asarray(out.points)[: len(mp_ids)]
         self._detach_outliers(np.asarray(out.valid)[:n_e], kf_e, slot_e,
                               mp_ids)
+        return {"kf_ids": kf_ids, "mp_ids": mp_ids}
 
     def _repair_imu_chain(self, j: int):
         """Splice KF j out of the IMU chain before culling it: its
@@ -624,8 +737,10 @@ class LocalMapper:
     # keyframe culling (LocalMapping::KeyFrameCulling, :1090)
     # ------------------------------------------------------------------
     def cull_keyframes(self, k: int):
-        """Remove local covisible KFs whose map points are >=90% observed by
-        at least 3 other keyframes."""
+        """Remove local covisible KFs >=90% of whose map points are observed
+        by at least 3 OTHER keyframes at the same or finer pyramid scale
+        (LocalMapping::KeyFrameCulling, LocalMapping.cc:1090-1229:
+        scaleLeveli <= scaleLevel + 1, thObs=3, 0.9 redundancy)."""
         store = self.store
         cfg = self.cfg
         n_culled = 0
@@ -635,11 +750,22 @@ class LocalMapper:
                 continue
             if self.kf_count - self.kf_born.get(j, 0) < cfg.kf_cull_min_age:
                 continue  # recent KFs anchor new-landmark triangulation
-            obs = store.kf_obs[j]
-            mp = obs[obs >= 0]
-            if len(mp) == 0:
+            slots = np.nonzero(store.kf_obs[j] >= 0)[0]
+            if len(slots) == 0:
                 continue
-            redundant = store.mp_obs_count[mp] > cfg.kf_cull_min_obs
+            mp = store.kf_obs[j][slots]
+            oct_j = store.kf_octave[j, slots]
+            kf_e, slot_e, mp_e = store.observing_slots(mp)
+            other = kf_e != j
+            if not other.any():
+                continue
+            loc = np.zeros(store.m_max, np.int64)
+            loc[mp] = np.arange(len(mp))
+            oct_e = store.kf_octave[kf_e[other], slot_e[other]]
+            finer = oct_e <= oct_j[loc[mp_e[other]]] + 1
+            counts = np.zeros(len(mp), np.int64)
+            np.add.at(counts, loc[mp_e[other]][finer], 1)
+            redundant = counts >= cfg.kf_cull_min_obs
             if redundant.mean() > cfg.kf_cull_redundancy:
                 self._repair_imu_chain(j)
                 store.remove_keyframe(j)

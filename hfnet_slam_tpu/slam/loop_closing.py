@@ -39,17 +39,17 @@ from .map import MapStore
 
 @dataclasses.dataclass
 class LoopCloserConfig:
-    # detection gates. Reference values (LoopClosing.cc:593-597) are tuned
-    # to ~1000 keypoints/frame: nBoWMatches=150, nSim3Inliers=35,
-    # nProjMatches=50, nProjOptMatches=120. Defaults here scale to the
-    # denser synthetic test regime; dataset configs restore reference values.
+    # detection gates: the REFERENCE defaults (LoopClosing.cc:593-597,
+    # tuned to ~1000 keypoints/frame): nBoWMatches=150, nSim3Inliers=35,
+    # nProjMatches=50, 3 consecutive-KF consistency (:399). Synthetic test
+    # configs scale these down for their sparser fake features.
     min_kfs_in_map: int = 12       # :360
     n_candidates: int = 3          # :494
-    n_covis_window: int = 5        # candidate + covisibles (:655: +10)
-    min_pair_matches: int = 40     # nBoWMatches analogue
-    min_sim3_inliers: int = 20     # nSim3Inliers analogue
-    min_proj_matches: int = 40     # nProjMatches analogue
-    consistency_hits: int = 1      # reference: 3 consecutive KFs (:399)
+    n_covis_window: int = 10       # candidate + 10 covisibles (:655)
+    min_pair_matches: int = 150    # nBoWMatches
+    min_sim3_inliers: int = 35     # nSim3Inliers
+    min_proj_matches: int = 50     # nProjMatches
+    consistency_hits: int = 3      # 3 consecutive KFs (:399)
     ransac_hyps: int = 512
     ransac_chi2: float = 9.21
     proj_radius: float = 8.0
@@ -76,6 +76,8 @@ class LoopCloser:
         self.mapper = mapper
         self.system = None  # set by SLAMSystem; enables cross-map merges
         self._np_rng = np.random.default_rng(rng_seed)
+        from .pipeline import NULL_LOCK
+        self.lock = NULL_LOCK  # map lock (shared RLock in async mode)
         self.consistent_hits = 0
         self.last_candidate = -1
         self.stats = {"detected": 0, "corrected": 0, "checked": 0, "merged": 0}
@@ -86,7 +88,16 @@ class LoopCloser:
         """Detect + (if confirmed) correct a loop ending at keyframe k, or
         merge the active map into a matched stored map
         (NewDetectCommonRegions returns loop OR merge candidates).
-        Returns True when a correction/merge ran."""
+        Returns True when a correction/merge ran.
+
+        Runs under the map lock: a correction moves the WHOLE map, which is
+        exactly when the reference stops LocalMapping and takes the map
+        mutex (CorrectLoop, LoopClosing.cc:1115-1133). Detection is cheap
+        (a few fixed-shape kernels); corrections are rare."""
+        with self.lock:
+            return self._process_keyframe(k)
+
+    def _process_keyframe(self, k: int) -> bool:
         store = self.store
         cfg = self.cfg
         if store.kf_valid.sum() < cfg.min_kfs_in_map:

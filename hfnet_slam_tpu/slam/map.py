@@ -65,6 +65,13 @@ class MapStore:
         self.mp_found = np.zeros(M, np.int32)    # times matched by tracking
         self.mp_first_kf = np.full(M, -1, np.int32)
         self.mp_obs_count = np.zeros(M, np.int32)  # keyframe observations
+        # viewing statistics (MapPoint::UpdateNormalAndDepth /
+        # PredictScale, reference src/MapPoint.cc): mean viewing direction
+        # and the scale-invariance distance band. dmax == 0 means
+        # "not yet computed" and disables the gates.
+        self.mp_normal = np.zeros((M, 3), np.float32)
+        self.mp_dmin = np.zeros(M, np.float32)
+        self.mp_dmax = np.zeros(M, np.float32)
 
         self.covis = np.zeros((K, K), np.int32)
         self._covis_scratch = None  # native covis_update mark buffer
@@ -72,6 +79,16 @@ class MapStore:
         self.n_mp = 0
         self._free_mp: list[int] = []
         self._free_kf: list[int] = []
+        # stable keyframe identity across slot reuse, for trajectory
+        # recovery via relative poses (Tracking.cc:1604-1624 records each
+        # frame against its reference KF; culled KFs redirect to their
+        # spanning-tree parent like KeyFrame::SetBadFlag's mTcp)
+        self.kf_uid = np.full(K, -1, np.int64)
+        self._next_uid = 0
+        self._uid_slot: dict[int, int] = {}
+        # uid -> (parent_uid, R_rel, t_rel): pose of the culled KF relative
+        # to its parent at cull time (T_culled = T_rel o T_parent)
+        self.cull_redirect: dict[int, tuple] = {}
 
     # ------------------------------------------------------------------
     # keyframes
@@ -98,6 +115,9 @@ class MapStore:
         self.kf_obs[k] = -1
         self.kf_depth[k] = 0.0 if depth is None else np.asarray(depth, np.float32)
         self.kf_valid[k] = True
+        self.kf_uid[k] = self._next_uid
+        self._uid_slot[self._next_uid] = k
+        self._next_uid += 1
         if obs is not None:
             obs = np.asarray(obs, np.int32)
             self.kf_obs[k] = obs
@@ -115,7 +135,20 @@ class MapStore:
     def remove_keyframe(self, k):
         """Cull a keyframe (KeyFrameCulling analogue). Children in the
         spanning tree are re-parented to the culled KF's parent
-        (SetBadFlag's parent reassignment, reference src/KeyFrame.cc)."""
+        (SetBadFlag's parent reassignment, reference src/KeyFrame.cc).
+        A redirect (pose relative to the parent at cull time, the
+        reference's mTcp) is recorded so trajectory entries referencing
+        this KF keep following the map through later corrections."""
+        parent = int(self.kf_parent[k])
+        uid = int(self.kf_uid[k])
+        if uid >= 0:
+            self._uid_slot.pop(uid, None)
+            if parent >= 0 and self.kf_valid[parent]:
+                R_rel = self.kf_R[k] @ self.kf_R[parent].T
+                t_rel = self.kf_t[k] - R_rel @ self.kf_t[parent]
+                self.cull_redirect[uid] = (
+                    int(self.kf_uid[parent]), R_rel.copy(), t_rel.copy())
+        self.kf_uid[k] = -1
         self.kf_valid[k] = False
         obs = self.kf_obs[k]
         np.subtract.at(self.mp_obs_count, obs[obs >= 0], 1)
@@ -129,6 +162,31 @@ class MapStore:
 
     def valid_kf_ids(self):
         return np.nonzero(self.kf_valid)[0]
+
+    def resolve_uid(self, uid: int):
+        """Resolve a keyframe uid to (slot, R_chase, t_chase): the live slot
+        that now anchors it, plus the accumulated relative pose through any
+        cull redirects (identity when the KF itself is alive). Returns None
+        when the chain dead-ends (e.g. the root of a reset map)."""
+        R_acc = None
+        t_acc = None
+        for _ in range(1024):  # bound: redirect chains cannot cycle
+            slot = self._uid_slot.get(uid)
+            if slot is not None:
+                if R_acc is None:
+                    return slot, np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+                return slot, R_acc, t_acc
+            nxt = self.cull_redirect.get(uid)
+            if nxt is None:
+                return None
+            p_uid, R_rel, t_rel = nxt
+            if R_acc is None:
+                R_acc, t_acc = R_rel.copy(), t_rel.copy()
+            else:
+                t_acc = R_acc @ t_rel + t_acc
+                R_acc = R_acc @ R_rel
+            uid = p_uid
+        return None
 
     # ------------------------------------------------------------------
     # map points
@@ -215,6 +273,76 @@ class MapStore:
         member[np.asarray(mp_ids, int)] = 1
         return native.observing_slots(self.kf_obs, self.kf_valid, member)
 
+    def update_point_stats(self, mp_ids, scale_factor=1.2, n_levels=4):
+        """Recompute viewing normal + scale-invariance distance band for the
+        given points (MapPoint::UpdateNormalAndDepth, src/MapPoint.cc):
+        normal = mean unit vector from each observing camera center to the
+        point; [dmin, dmax] from the first-observer distance and octave."""
+        mp_ids = np.asarray(mp_ids, int)
+        mp_ids = mp_ids[self.mp_valid[mp_ids]]
+        if len(mp_ids) == 0:
+            return
+        kf_e, slot_e, mp_e = self.observing_slots(mp_ids)
+        if len(kf_e) == 0:
+            return
+        centers = np.einsum("kij,kj->ki", -self.kf_R.transpose(0, 2, 1),
+                            self.kf_t)  # -(R^T t) for every KF row
+        vec = self.mp_pos[mp_e] - centers[kf_e]
+        dist = np.maximum(np.linalg.norm(vec, axis=1), 1e-9)
+        unit = vec / dist[:, None]
+        nsum = np.zeros((self.m_max, 3), np.float32)
+        np.add.at(nsum, mp_e, unit)
+        norm = np.maximum(np.linalg.norm(nsum[mp_ids], axis=1), 1e-9)
+        self.mp_normal[mp_ids] = nsum[mp_ids] / norm[:, None]
+        # reference distance/octave: first observation row per point
+        first = np.full(self.m_max, -1, np.int64)
+        rev = np.arange(len(mp_e) - 1, -1, -1)
+        first[mp_e[rev]] = rev  # earliest row wins
+        rows = first[mp_ids]
+        d_ref = dist[rows]
+        oct_ref = self.kf_octave[kf_e[rows], slot_e[rows]].astype(np.float32)
+        dmax = d_ref * scale_factor ** oct_ref
+        self.mp_dmax[mp_ids] = dmax
+        self.mp_dmin[mp_ids] = dmax / scale_factor ** (n_levels - 1)
+
+    def refresh_point_descriptors(self, mp_ids, max_obs=8):
+        """Recompute each point's representative descriptor as the
+        min-median-distance observation (ComputeDistinctiveDescriptors,
+        src/MapPoint.cc) — one batched MXU kernel over up to max_obs
+        observations per point (ops/matching.py::distinctive_descriptors).
+        Points frozen at their creation-time mean drift away from what the
+        extractor actually fires on a corner; this keeps them matchable."""
+        import jax.numpy as jnp
+
+        from ..ops import matching as M
+
+        mp_ids = np.asarray(mp_ids, int)
+        mp_ids = mp_ids[self.mp_valid[mp_ids] & (self.mp_obs_count[mp_ids] >= 2)]
+        if len(mp_ids) == 0:
+            return
+        kf_e, slot_e, mp_e = self.observing_slots(mp_ids)
+        if len(kf_e) == 0:
+            return
+        order = np.argsort(mp_e, kind="stable")
+        kf_s, slot_s, mp_s = kf_e[order], slot_e[order], mp_e[order]
+        starts = np.r_[0, np.nonzero(np.diff(mp_s))[0] + 1]
+        lens = np.diff(np.r_[starts, len(mp_s)])
+        cum = np.arange(len(mp_s)) - np.repeat(starts, lens)
+        sel = cum < max_obs
+        kf_s, slot_s, mp_s, cum = kf_s[sel], slot_s[sel], mp_s[sel], cum[sel]
+        uniq = np.unique(mp_s)
+        loc = np.zeros(self.m_max, np.int64)
+        loc[uniq] = np.arange(len(uniq))
+        # pad the point axis to a power of two: bounded compile count
+        P = max(64, 1 << int(np.ceil(np.log2(max(len(uniq), 1)))))
+        descs = np.zeros((P, max_obs, self.desc_dim), np.float32)
+        mask = np.zeros((P, max_obs), bool)
+        descs[loc[mp_s], cum] = self.kf_desc[kf_s, slot_s]
+        mask[loc[mp_s], cum] = True
+        best = np.asarray(M.distinctive_descriptors(jnp.asarray(descs),
+                                                    jnp.asarray(mask)))
+        self.mp_desc[uniq] = best[: len(uniq)]
+
     def points_seen_by(self, kf_ids):
         """Union of map-point ids observed by the given keyframes."""
         obs = self.kf_obs[np.asarray(kf_ids, int)]
@@ -230,6 +358,7 @@ class MapStore:
             **{f: getattr(self, f) for f in _ARRAY_FIELDS},
             n_kf=self.n_kf,
             n_mp=self.n_mp,
+            next_uid=self._next_uid,
             free_mp=np.asarray(self._free_mp, np.int64),
             free_kf=np.asarray(self._free_kf, np.int64),
             loop_edges=np.asarray(self.loop_edges, np.int64).reshape(-1, 2),
@@ -253,13 +382,22 @@ class MapStore:
             m.loop_edges = [(int(a), int(b)) for a, b in z["loop_edges"]]
         if "imu_flags" in z:
             m.imu_initialized, m.viba1, m.viba2 = (bool(x) for x in z["imu_flags"])
+        if "next_uid" in z:
+            m._next_uid = int(z["next_uid"])
+        else:  # older snapshot: synthesize uids
+            m.kf_uid[m.kf_valid] = np.arange(int(m.kf_valid.sum()))
+            m._next_uid = int(m.kf_valid.sum())
+        m._uid_slot = {int(u): int(s) for s, u in enumerate(m.kf_uid) if u >= 0}
+        # cull redirects are an in-session trajectory-recovery aid; a loaded
+        # snapshot starts with a fresh (empty) redirect table
         return m
 
 
 _ARRAY_FIELDS = [
     "kf_R", "kf_t", "kf_valid", "kf_timestamp", "kf_xy", "kf_desc",
     "kf_score", "kf_octave", "kf_mask", "kf_gdesc", "kf_obs", "kf_parent",
-    "kf_depth", "kf_vel", "kf_bg", "kf_ba", "kf_prev",
+    "kf_depth", "kf_vel", "kf_bg", "kf_ba", "kf_prev", "kf_uid",
     "mp_pos", "mp_desc", "mp_valid", "mp_visible", "mp_found",
-    "mp_first_kf", "mp_obs_count", "covis",
+    "mp_first_kf", "mp_obs_count", "mp_normal", "mp_dmin", "mp_dmax",
+    "covis",
 ]

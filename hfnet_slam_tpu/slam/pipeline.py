@@ -1,0 +1,113 @@
+"""Async host pipeline: mapping/loop-closing off the tracking thread.
+
+TPU-native replacement of the reference's thread trio
+(/root/reference/src/System.cc:137-183: Tracking in the caller thread,
+LocalMapping::Run and LoopClosing::Run each on a std::thread, global BA on
+a transient fourth thread; hand-off by mutex-guarded keyframe queues,
+LocalMapping.cc:317-322 / LoopClosing.cc:315-320).
+
+Design here: ONE worker thread runs the whole per-keyframe mapping + loop
+pipeline (the two reference threads were a latency ladder, not a
+parallelism win — mapping hands each KF straight to loop closing). The
+reference's map-wide lock `Map::mMutexMapUpdate` (include/Map.h:141, taken
+by Tracking each frame at Tracking.cc:1190) becomes `map_lock`, an RLock
+with the same discipline:
+
+  * the tracking thread holds it for the whole per-frame track() body;
+  * worker-side host sections (gather problem inputs, write back results,
+    propagate corrections) hold it;
+  * the heavy jitted device solves (local BA, Sim3 RANSAC, pose graph,
+    global BA) run WITHOUT it — they consume device copies made under the
+    lock, so tracking overlaps exactly the work that dominates mapping
+    latency. This is the reference's behavior: its LBA runs concurrently
+    with tracking and is abortable (mbAbortBA, LocalMapping.cc:321).
+
+JAX releases the GIL during device execution, so the overlap is real even
+in a single process.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+
+
+class MappingWorker:
+    """Consumes (store, kf) items; runs mapper + loop closer per keyframe."""
+
+    def __init__(self, system):
+        self.system = system
+        self.q: queue.Queue = queue.Queue()
+        self.map_lock = threading.RLock()
+        self.exc = None
+        self.processed = 0
+        self._thread = threading.Thread(
+            target=self._run, name="hfnet-mapping", daemon=True)
+        self._thread.start()
+
+    # -- tracking-thread API ------------------------------------------------
+    def enqueue(self, store, k: int):
+        """LocalMapping::InsertKeyFrame analogue (queue push)."""
+        self.q.put((store, int(k)))
+
+    def queue_size(self) -> int:
+        return self.q.qsize()
+
+    def drain(self):
+        """Block until every queued keyframe is fully processed; re-raise a
+        worker exception if one occurred (tests/shutdown path)."""
+        self.q.join()
+        if self.exc is not None:
+            exc, self.exc = self.exc, None
+            raise exc
+
+    def stop(self):
+        self.q.put(None)
+        self._thread.join(timeout=30)
+
+    # -- worker thread --------------------------------------------------------
+    def _run(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                self.q.task_done()
+                return
+            store, k = item
+            try:
+                sys_ = self.system
+                with self.map_lock:
+                    stale = store is not sys_.store or not store.kf_valid[k]
+                if not stale:
+                    sys_.mapper.process_keyframe(k)
+                    if sys_.loop_closer is not None:
+                        closed = sys_.loop_closer.process_keyframe(k)
+                        if closed:
+                            with self.map_lock:
+                                # the map moved under the tracker; restart
+                                # its motion model (Tracking does the same
+                                # after CorrectLoop)
+                                sys_.tracker.velocity = None
+                self.processed += 1
+            except Exception as e:  # surfaced on the next drain()
+                self.exc = e
+            finally:
+                self.q.task_done()
+
+
+class _NullLock:
+    """No-op lock for the synchronous pipeline (zero overhead, and makes
+    `with self.lock:` uniform across sync/async code paths)."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def acquire(self):
+        pass
+
+    def release(self):
+        pass
+
+
+NULL_LOCK = _NullLock()

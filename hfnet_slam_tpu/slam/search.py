@@ -36,12 +36,21 @@ def search_by_projection(
     radius: float,
     max_dist: float = M.TH_HIGH,
     ratio: float = 1.0,
+    mp_normal=None,
+    mp_dmin=None,
+    mp_dmax=None,
 ):
     """Match frame features against projected map points
     (Matcher::SearchByProjection, src/Matcher.cc:40-210).
 
     The per-keypoint search window scales with the keypoint's pyramid level
     (radius * 1.2^octave), mirroring the reference's th*scaleFactor window.
+
+    When per-point viewing stats are given, the reference's frustum gates
+    apply (Frame::isInFrustum + Matcher.cc:212-218): distance inside
+    [0.8 dmin, 1.2 dmax], viewing cos(normal, ray) > 0.5, and a tighter
+    window (x 2.5/4.0) for head-on views. Points with dmax == 0 have no
+    stats yet and pass ungated.
 
     Returns:
       idx: (N_feat,) int32 index into the mp arrays or -1.
@@ -55,7 +64,23 @@ def search_by_projection(
     mp_ok = mp_valid & depth_ok & in_img
 
     radii = radius * (1.2 ** feat_octave.astype(jnp.float32))
-    allowed = M.radius_allowed(feat_xy, uv, radii)
+    if mp_normal is not None:
+        # viewing ray from the camera center, in world coords
+        center = -R.T @ t
+        ray = mp_pos - center[None, :]
+        dist = jnp.maximum(jnp.linalg.norm(ray, axis=1), 1e-9)
+        view_cos = jnp.sum(ray / dist[:, None] * mp_normal, axis=1)
+        has_stats = mp_dmax > 0
+        dist_ok = (dist >= 0.8 * mp_dmin) & (dist <= 1.2 * mp_dmax)
+        cos_ok = view_cos > 0.5
+        mp_ok = mp_ok & (~has_stats | (dist_ok & cos_ok))
+        # head-on views get the tight window (2.5 vs 4.0, Matcher.cc:212)
+        tight = has_stats & (view_cos > 0.998)
+        radii_mp = jnp.where(tight, 2.5 / 4.0, 1.0)
+        d2 = jnp.sum((feat_xy[:, None, :] - uv[None, :, :]) ** 2, axis=-1)
+        allowed = d2 <= (radii[:, None] * radii_mp[None, :]) ** 2
+    else:
+        allowed = M.radius_allowed(feat_xy, uv, radii)
     idx, dist = M.match_descriptors(
         feat_desc, feat_mask, mp_desc, mp_ok,
         max_dist=max_dist, ratio=ratio, mutual=True, allowed=allowed,

@@ -37,6 +37,11 @@ class SystemConfig:
     desc_dim: int = 256
     gdesc_dim: int = 4096
     loop_closing: bool = True  # the reference's `loopClosing: 1` toggle
+    # async mapping/loop pipeline (the reference's thread trio,
+    # System.cc:137-183; slam/pipeline.py). Visual-inertial mode stays
+    # synchronous: the staged IMU init rescales the whole map mid-stream,
+    # which the tracker must observe immediately.
+    async_mapping: bool = False
     # stereo rig (Settings: Stereo.b / depth gates)
     baseline: float = 0.0      # metres; 0 = no stereo rig
     depth_factor: float = 1.0  # RGB-D raw-to-metres (RGBD.DepthMapFactor)
@@ -87,6 +92,16 @@ class SLAMSystem:
         if self.loop_closer is not None:
             self.loop_closer.system = self  # enables cross-map merges
         self._traj_mark = 0
+        self.worker = None
+        if c.async_mapping and self.vi is None:
+            from .pipeline import MappingWorker
+
+            self.worker = MappingWorker(self)
+            self.tracker.worker = self.worker
+            self.tracker.lock = self.worker.map_lock
+            self.mapper.lock = self.worker.map_lock
+            if self.loop_closer is not None:
+                self.loop_closer.lock = self.worker.map_lock
 
     @property
     def store(self) -> MapStore:
@@ -128,6 +143,18 @@ class SLAMSystem:
         feats = self.extractor(image)
         return self.track_features(feats, timestamp, imu=imu)
 
+    def finish(self):
+        """Drain the async mapping queue (no-op in sync mode). Call before
+        reading final map state or saving trajectories."""
+        if self.worker is not None:
+            self.worker.drain()
+
+    def shutdown(self):
+        """System::Shutdown analogue: drain and stop the worker thread."""
+        if self.worker is not None:
+            self.worker.drain()
+            self.worker.stop()
+
     def track_features(self, feats, timestamp: float, depth=None, imu=None):
         """Feed pre-extracted features (testing / offline pipelines)."""
         if self.cam.dist is not None:
@@ -146,14 +173,15 @@ class SLAMSystem:
         """Multi-map recovery (SURVEY.md §5.3): a mature map is stored and a
         fresh one starts (CreateMapInAtlas, Tracking.cc:1328); an immature
         one (<=10 KFs) is discarded in place (ResetActiveMap, :1323)."""
-        mature = self.store.kf_valid.sum() > self.cfg.tracker.mature_map_kfs
-        if mature:
-            store = self.atlas.create_new_map()
-        else:
-            store = self.atlas.reset_active_map()
-        self._rewire(store)
-        self.tracker.reset_for_new_map(store)
-        self._traj_mark = len(self.tracker.trajectory)
+        with self.tracker.lock:
+            mature = self.store.kf_valid.sum() > self.cfg.tracker.mature_map_kfs
+            if mature:
+                store = self.atlas.create_new_map()
+            else:
+                store = self.atlas.reset_active_map()
+            self._rewire(store)
+            self.tracker.reset_for_new_map(store)
+            self._traj_mark = len(self.tracker.trajectory)
 
     # ------------------------------------------------------------------
     def execute_merge(self, target_idx: int, k: int, cand: int,
@@ -195,14 +223,27 @@ class SLAMSystem:
             tr.vi.store = target
             tr.vi.kf_pre.clear()
             tr._imu_since_kf = []
-        # transform the trajectory segment recorded in the absorbed map's
-        # frame (the reference recovers this via per-frame relative poses)
+        # re-anchor the trajectory segment recorded in the absorbed map:
+        # absolute fallbacks move into the target world frame, and the
+        # per-frame reference-KF links follow the transplanted keyframes
+        # (relative translations rescale by 1/s since the map scale changed)
         Rg, tg, sg = G
+        tg = np.asarray(tg)
         mark = getattr(self, "_traj_mark", 0)
-        fixed = []
-        for ts, R, t in tr.trajectory[mark:]:
-            fixed.append((ts, R @ Rg.T, t / sg - (R @ Rg.T) @ (np.asarray(tg) / sg)))
-        tr.trajectory[mark:] = fixed
+        for e in tr.trajectory[mark:]:
+            R_new = e.R @ Rg.T
+            e.R, e.t = R_new, e.t / sg - R_new @ (tg / sg)
+            if getattr(e, "store", None) is active and e.ref_uid >= 0:
+                old_slot = active._uid_slot.get(int(e.ref_uid))
+                new_slot = kf_remap.get(old_slot) if old_slot is not None else None
+                if new_slot is None:
+                    e.store = None  # chain broken; absolute fallback stands
+                else:
+                    e.store = target
+                    e.ref_uid = int(target.kf_uid[new_slot])
+                    e.t_rel = e.t_rel / sg
+            elif getattr(e, "store", None) is active:
+                e.store = None
 
         # weld: fuse duplicated landmarks around the seam, then polish the
         # whole merged map (the reference runs a welding-window BA plus an
@@ -242,10 +283,12 @@ class SLAMSystem:
 
     def trajectory_tum(self) -> str:
         """TUM format: `t tx ty tz qx qy qz qw` (camera-to-world), matching
-        System::SaveTrajectoryTUM's convention (System.cc:512)."""
+        System::SaveTrajectoryTUM's convention (System.cc:512). Poses are
+        rebuilt through each frame's reference KF so loop/GBA corrections
+        reach every past frame (Tracking.cc:1604-1624)."""
         from ..utils import trajectory as TJ
 
-        return "\n".join(TJ.tum_lines(self.tracker.trajectory)) + "\n"
+        return "\n".join(TJ.tum_lines(TJ.recovered(self.tracker.trajectory))) + "\n"
 
     def save_trajectory(self, path, fmt: str = "tum"):
         """fmt: tum | euroc | kitti (SaveTrajectory{TUM,EuRoC,KITTI})."""

@@ -70,6 +70,7 @@ class TrackerConfig:
     # stereo / RGB-D (Tracking::StereoInitialization, Tracking.cc:1639;
     # CreateNewKeyFrame close-point creation, :2546)
     th_depth: float = 35.0          # close/far split in scene units
+    th_far: float = 0.0             # System.thFarPoints: drop deeper depths
     min_stereo_init_points: int = 100
     max_depth_points_per_kf: int = 100
     # stereo depth-edge weight base: bf = fx * baseline (pixel-equivalent
@@ -82,6 +83,41 @@ class TrackerConfig:
     # median parallax of the reconstructed points must clear this, or init
     # waits for more baseline (a garbage low-parallax map poisons tracking)
     min_init_med_parallax_deg: float = 1.5
+
+
+@dataclasses.dataclass
+class TrajEntry:
+    """One tracked frame in the trajectory. Iterates as (ts, R, t) with the
+    absolute pose recorded at track time; `recovered(...)` in
+    utils/trajectory.py rebuilds the pose through the reference keyframe so
+    loop/GBA corrections propagate to every past frame — the reference's
+    relative-pose trajectory recovery (Tracking.cc:1604-1624,
+    System::SaveTrajectoryTUM src/System.cc:512-)."""
+
+    ts: float
+    R: np.ndarray                      # absolute T_cw at track time
+    t: np.ndarray
+    store: object = None               # MapStore owning the reference KF
+    ref_uid: int = -1                  # stable uid of the reference KF
+    R_rel: Optional[np.ndarray] = None # T_frame o T_ref^{-1} at track time
+    t_rel: Optional[np.ndarray] = None
+
+    def __iter__(self):  # tuple-compat: (ts, R, t)
+        return iter((self.ts, self.R, self.t))
+
+    def recovered_pose(self):
+        """(R, t) rebuilt via the reference KF's CURRENT pose; falls back to
+        the track-time absolute pose when the reference chain is gone."""
+        if self.store is None or self.ref_uid < 0 or self.R_rel is None:
+            return self.R, self.t
+        hit = self.store.resolve_uid(int(self.ref_uid))
+        if hit is None:
+            return self.R, self.t
+        slot, R_ch, t_ch = hit
+        # T_frame = T_rel o (T_chase o T_anchor)
+        R_ref = R_ch @ self.store.kf_R[slot]
+        t_ref = R_ch @ self.store.kf_t[slot] + t_ch
+        return self.R_rel @ R_ref, self.R_rel @ t_ref + self.t_rel
 
 
 @dataclasses.dataclass
@@ -121,7 +157,14 @@ class Tracker:
         self.frames_lost = 0
         self.n_relocalizations = 0
         self._key = jnp.asarray(np.random.default_rng(rng_seed).integers(0, 2**31, 2), jnp.uint32)
-        self.trajectory = []  # (timestamp, R, t) per tracked frame
+        self.trajectory = []  # TrajEntry per tracked frame
+        # async pipeline wiring (slam/pipeline.py): when `worker` is set,
+        # keyframes are enqueued instead of processed inline, and `lock` is
+        # the shared map RLock (Map::mMutexMapUpdate discipline,
+        # Tracking.cc:1190 takes it per frame)
+        from .pipeline import NULL_LOCK
+        self.lock = NULL_LOCK
+        self.worker = None
 
     # ------------------------------------------------------------------
     def reset_for_new_map(self, store: MapStore):
@@ -151,8 +194,15 @@ class Tracker:
         imu: optional (N,7) [ax ay az wx wy wz dt] measurements covering
         (t_prev, t] — the GrabImuData queue contents (Tracking.cc:921).
         Returns (state, R, t)."""
-        frame = Frame(feats=feats, timestamp=timestamp,
-                      depth=None if depth is None else np.asarray(depth))
+        with self.lock:
+            return self._track(feats, timestamp, depth, imu)
+
+    def _track(self, feats, timestamp, depth=None, imu=None):
+        if depth is not None:
+            depth = np.asarray(depth)
+            if self.cfg.th_far > 0:  # System.thFarPoints (Settings.h)
+                depth = np.where(depth > self.cfg.th_far, 0.0, depth)
+        frame = Frame(feats=feats, timestamp=timestamp, depth=depth)
         if self.vi is not None and imu is not None and len(imu):
             self._imu_since_kf.append(np.asarray(imu, np.float32))
         if self.state == NOT_INITIALIZED:
@@ -194,9 +244,23 @@ class Tracker:
         # LOST: terminal for this map; the Atlas layer (slam/atlas.py)
         # spawns a fresh map, mirroring CreateMapInAtlas (Tracking.cc:1328)
         if frame.R is not None:
-            self.trajectory.append((timestamp, frame.R.copy(), frame.t.copy()))
+            self.trajectory.append(self._traj_entry(frame, timestamp))
         self.frame_id += 1
         return self.state, frame.R, frame.t
+
+    def _traj_entry(self, frame, timestamp) -> TrajEntry:
+        """Record the frame against its reference KF (Tracking.cc:1604-1624:
+        mlRelativeFramePoses) so later corrections reach it."""
+        store = self.store
+        e = TrajEntry(timestamp, frame.R.copy(), frame.t.copy())
+        k = self.ref_kf
+        if k >= 0 and store.kf_valid[k]:
+            R_rel = frame.R @ store.kf_R[k].T
+            e.store = store
+            e.ref_uid = int(store.kf_uid[k])
+            e.R_rel = R_rel
+            e.t_rel = frame.t - R_rel @ store.kf_t[k]
+        return e
 
     def _on_tracking_failure(self):
         """OK -> RECENTLY_LOST (mature map) or LOST (Tracking.cc:1263-1336)."""
@@ -593,7 +657,7 @@ class Tracker:
             frame.t = None
         return False
 
-    def _pad_mps(self, mp_ids, cap):
+    def _pad_mps(self, mp_ids, cap, with_stats=False):
         store = self.store
         mp_ids = mp_ids[:cap]
         n = len(mp_ids)
@@ -605,7 +669,16 @@ class Tracker:
         valid[:n] = True
         ids_p = np.full(cap, -1, np.int32)
         ids_p[:n] = mp_ids
-        return jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid), ids_p
+        out = (jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid), ids_p)
+        if not with_stats:
+            return out
+        normal = np.zeros((cap, 3), np.float32)
+        dmin = np.zeros(cap, np.float32)
+        dmax = np.zeros(cap, np.float32)
+        normal[:n] = store.mp_normal[mp_ids]
+        dmin[:n] = store.mp_dmin[mp_ids]
+        dmax[:n] = store.mp_dmax[mp_ids]
+        return out + (jnp.asarray(normal), jnp.asarray(dmin), jnp.asarray(dmax))
 
     def _track_local_map(self, frame):
         """UpdateLocalMap + SearchLocalPoints + final pose opt
@@ -634,13 +707,15 @@ class Tracker:
         local_mps = local_mps[~np.isin(local_mps, matched)]
         if len(local_mps) > 0:
             cap = cfg.local_mp_cap
-            mp_pos, mp_desc, mp_valid, ids_p = self._pad_mps(local_mps, cap)
+            (mp_pos, mp_desc, mp_valid, ids_p, mp_normal, mp_dmin,
+             mp_dmax) = self._pad_mps(local_mps, cap, with_stats=True)
             idx, _, proj_ok = search.search_by_projection(
                 self.cam.kind, self.cam.params, (self.cam.width, self.cam.height),
                 jnp.asarray(frame.R), jnp.asarray(frame.t),
                 mp_pos, mp_desc, mp_valid,
                 frame.feats.xy, frame.feats.desc, frame.feats.octave, frame.feats.mask,
                 radius=cfg.local_window, max_dist=cfg.th_high, ratio=1.0,
+                mp_normal=mp_normal, mp_dmin=mp_dmin, mp_dmax=mp_dmax,
             )
             idx = np.asarray(idx)
             # visibility statistics (visible = projected in frustum)
@@ -686,6 +761,11 @@ class Tracker:
         need = (c1a and self.n_inliers > 15) or (
             c2 and self.frames_since_kf > cfg.min_frames_between_kf
         )
+        if need and self.worker is not None and self.worker.queue_size() >= 3:
+            # mapping busy: hold the keyframe (NeedNewKeyFrame's
+            # mapper-idle condition, Tracking.cc:2500-2540 — the reference
+            # drops KFs when >=3 are queued in LocalMapping)
+            return False
         return bool(need)
 
     def _create_keyframe(self, frame):
@@ -711,6 +791,13 @@ class Tracker:
                 store.kf_vel[k] = frame.v
             self._imu_since_kf = []
             self._last_kf = k
+        if self.worker is not None:
+            # async pipeline: hand the keyframe to the mapping worker
+            # (LocalMapping::InsertKeyFrame, LocalMapping.cc:317) and keep
+            # tracking — refinements land in the store and reach the
+            # tracker through the shared map under the lock
+            self.worker.enqueue(store, k)
+            return
         if self.mapper is not None:
             self.mapper.process_keyframe(k)
         if self.loop_closer is not None:

@@ -195,6 +195,11 @@ class Settings:
         cfg.tracker.th_depth = (
             self.th_depth * self.baseline if self.baseline > 0 else self.th_depth
         )
+        cfg.tracker.th_far = self.th_far_points
+        # keyframe cadence: the reference sets mMaxFrames = fps
+        # (Tracking.cc newParameterLoader), i.e. at most ~1 s between KFs
+        if self.fps > 0:
+            cfg.tracker.max_frames_between_kf = int(round(self.fps))
         for k, v in overrides.items():
             setattr(cfg, k, v)
         return cfg

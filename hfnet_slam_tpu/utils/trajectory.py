@@ -66,8 +66,25 @@ def kitti_lines(traj):
 _FORMATS = {"tum": tum_lines, "euroc": euroc_lines, "kitti": kitti_lines}
 
 
+def recovered(traj):
+    """Rebuild every frame's pose through its reference keyframe's CURRENT
+    pose (the reference's save-time trajectory recovery,
+    src/System.cc:512-: each frame's relative pose composed onto the
+    possibly loop/GBA-corrected KF pose). Plain (ts, R, t) tuples and
+    entries whose reference chain is gone fall back to their track-time
+    absolute pose."""
+    out = []
+    for e in traj:
+        if hasattr(e, "recovered_pose"):
+            R, t = e.recovered_pose()
+            out.append((e.ts, R, t))
+        else:
+            out.append(tuple(e))
+    return out
+
+
 def save(path, traj, fmt: str = "tum"):
-    lines = _FORMATS[fmt](traj)
+    lines = _FORMATS[fmt](recovered(traj))
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
 

@@ -96,3 +96,28 @@ class TestRetrieval:
         batch = M.global_scores_batch(q, g, mask)
         for i in range(3):
             np.testing.assert_allclose(batch[i], M.global_scores(q[i], g, mask), atol=1e-5)
+
+
+def test_distinctive_descriptors_min_median():
+    """Best descriptor = the observation with the smallest median distance
+    to the others (ComputeDistinctiveDescriptors, src/MapPoint.cc)."""
+    import jax.numpy as jnp
+    from hfnet_slam_tpu.ops import matching as M
+
+    rng = np.random.default_rng(0)
+    # point 0: 4 obs, three clustered + one outlier -> winner in cluster
+    base = rng.standard_normal(16).astype(np.float32)
+    base /= np.linalg.norm(base)
+    obs = np.stack([base + rng.normal(0, 0.01, 16).astype(np.float32) for _ in range(3)]
+                   + [-base])
+    obs /= np.linalg.norm(obs, axis=1, keepdims=True)
+    descs = np.zeros((2, 4, 16), np.float32)
+    mask = np.zeros((2, 4), bool)
+    descs[0] = obs
+    mask[0] = True
+    # point 1: single obs
+    descs[1, 0] = base
+    mask[1, 0] = True
+    best = np.asarray(M.distinctive_descriptors(jnp.asarray(descs), jnp.asarray(mask)))
+    assert best[0] @ base > 0.99       # cluster member, not the outlier
+    np.testing.assert_allclose(best[1], base, atol=1e-6)

@@ -48,6 +48,7 @@ def merge_run():
                             tri_neighbors=5),
         loop=LoopCloserConfig(
             min_pair_matches=30, min_sim3_inliers=15, min_proj_matches=30,
+            consistency_hits=1, n_covis_window=5,
             window_mp_cap=2048, gba_kf_cap=48, gba_mp_cap=4096,
             gba_edge_cap=16384, ransac_hyps=256,
         ),

@@ -179,3 +179,35 @@ def test_distorted_rig_tracks_accurately():
     err = ate.ate_rmse(est, gtc, with_scale=True)
     path = np.linalg.norm(np.diff(gtc, axis=0), axis=1).sum()
     assert err < 0.07 * path, f"ATE {err:.3f} m over {path:.1f} m path"
+
+
+def test_async_pipeline_matches_sync_quality():
+    """Async mapping worker (slam/pipeline.py): same sequence tracked with
+    mapping/loop off the tracking thread must stay accurate and leave a
+    consistent map after drain()."""
+    cam = make_cam()
+    world = SyntheticWorld.cloud(seed=5, n_landmarks=1400, extent=16.0,
+                                 center=(0, 0, 10.0), desc_dim=64)
+    ext = FakeExtractor(world, cam, pad_to=512, noise_px=0.3,
+                        desc_noise=0.03, max_landmarks_per_frame=480, seed=7)
+    cfg = SystemConfig(
+        k_max=128, m_max=8192, n_slots=512, desc_dim=64, gdesc_dim=64,
+        async_mapping=True,
+        tracker=TrackerConfig(local_mp_cap=2048, min_init_med_parallax_deg=4.0),
+        mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=2048, ba_edge_cap=8192,
+                            tri_neighbors=5),
+    )
+    sys_ = SLAMSystem(cam, ext, cfg)
+    assert sys_.worker is not None
+    gt = browse_trajectory(80)
+    est, gtc = run_sequence(sys_, ext, gt)
+    sys_.finish()   # drain the mapping queue; re-raises worker exceptions
+    assert sys_.tracker.state == OK
+    assert len(est) >= len(gt) - 20
+    store = sys_.store
+    assert store.kf_valid.sum() >= 3
+    assert store.mp_valid.sum() >= 200
+    err = ate.ate_rmse(est, gtc, with_scale=True)
+    path = np.linalg.norm(np.diff(gtc, axis=0), axis=1).sum()
+    assert err < 0.08 * path, f"async ATE {err:.3f} m over {path:.1f} m path"
+    sys_.shutdown()
