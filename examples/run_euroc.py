@@ -64,7 +64,9 @@ def main():
         n_features=settings.n_features, n_levels=settings.n_levels,
         scale_factor=settings.scale_factor, threshold=settings.threshold,
     )
-    cfg = settings.make_system_config()
+    # async mapping worker: tracking overlaps local BA / loop closing like
+    # the reference's thread trio (slam/pipeline.py)
+    cfg = settings.make_system_config(async_mapping=True)
     slam = SLAMSystem(cam, extractor, cfg)
 
     import jax.numpy as jnp
@@ -78,6 +80,7 @@ def main():
             kf = slam.store.kf_valid.sum()
             print(f"frame {i}: state={st} kfs={kf} mps={slam.store.mp_valid.sum()}")
 
+    slam.finish()  # drain the async mapping queue
     slam.save_trajectory(args.out)
     print(f"trajectory -> {args.out}")
     print(timings.report())

@@ -41,32 +41,47 @@ class PoseGraphProblem(NamedTuple):
     e_valid: jnp.ndarray  # (E,) bool
 
 
-def _edge_residual(Ri, ti, si, Rj, tj, sj, Rm, tm, sm, xi_i, xi_j):
-    """r = log_sim3(S_m * exp(xi_i) S_i * (exp(xi_j) S_j)^-1), 7-d."""
+def _edge_residual(Ri, ti, si, Rj, tj, sj, Rm, tm, sm, xi_i, xi_j,
+                   right=False):
+    """r = log_sim3(S_m * (S_i+xi_i) * (S_j+xi_j)^-1), 7-d.
+
+    right=False: left-multiplicative perturbation exp(xi) S (camera-frame
+    tangent, the plain Sim3 graph). right=True: S exp(xi) — the tangent
+    acts on WORLD coordinates, so masking phi_x/phi_y/sigma yields the
+    reference's gravity-preserving 4-DoF graph (yaw + translation;
+    Optimizer::OptimizeEssentialGraph4DoF, Optimizer.cc:5292)."""
     dRi, dti, dsi = lie.sim3_exp(xi_i)
     dRj, dtj, dsj = lie.sim3_exp(xi_j)
-    R1, t1, s1 = lie.sim3_mul(dRi, dti, dsi, Ri, ti, si)
-    R2, t2, s2 = lie.sim3_mul(dRj, dtj, dsj, Rj, tj, sj)
+    if right:
+        R1, t1, s1 = lie.sim3_mul(Ri, ti, si, dRi, dti, dsi)
+        R2, t2, s2 = lie.sim3_mul(Rj, tj, sj, dRj, dtj, dsj)
+    else:
+        R1, t1, s1 = lie.sim3_mul(dRi, dti, dsi, Ri, ti, si)
+        R2, t2, s2 = lie.sim3_mul(dRj, dtj, dsj, Rj, tj, sj)
     R2i, t2i, s2i = lie.sim3_inverse(R2, t2, s2)
     Ra, ta, sa = lie.sim3_mul(Rm, tm, sm, R1, t1, s1)
     Rr, tr, sr = lie.sim3_mul(Ra, ta, sa, R2i, t2i, s2i)
     return lie.sim3_log(Rr, tr, sr)
 
 
-@partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
+@partial(jax.jit, static_argnames=("n_iters", "fix_scale", "mode"))
 def optimize_pose_graph(
-    prob: PoseGraphProblem, n_iters: int = 20, fix_scale: bool = False
+    prob: PoseGraphProblem, n_iters: int = 20, fix_scale: bool = False,
+    mode: str = "sim3",
 ):
     """Gauss-Newton on the Sim3 pose graph. Identity information matrices,
     like the reference (matLambda = I, Optimizer.cc:1552).
 
-    fix_scale=True pins every vertex's scale DOF (the visual-inertial /
-    stereo case where scale is observable and must not be bent by the
-    graph; the reference uses OptimizeEssentialGraph4DoF there).
+    fix_scale=True pins every vertex's scale DOF (scale observable but
+    orientation free — the stereo/RGB-D case).
+    mode="4dof" additionally pins roll/pitch in the WORLD frame
+    (right-multiplicative tangents): the inertial case where gravity fixes
+    the horizon (OptimizeEssentialGraph4DoF, Optimizer.cc:5292).
     Returns the problem with updated (R, t, s).
     """
     K = prob.R.shape[0]
-    zero = jnp.zeros(7, prob.R.dtype)
+    right = mode == "4dof"
+    pin_dofs = (3, 4, 6) if right else ((6,) if fix_scale else ())
 
     def gn_step(carry, _):
         R, t, s = carry
@@ -75,7 +90,7 @@ def optimize_pose_graph(
             def f(xi2):
                 return _edge_residual(
                     R[i], t[i], s[i], R[j], t[j], s[j], Rm, tm, sm,
-                    xi2[:7], xi2[7:],
+                    xi2[:7], xi2[7:], right=right,
                 )
             r = f(jnp.zeros(14, R.dtype))
             J = jax.jacfwd(f)(jnp.zeros(14, R.dtype))  # (7,14)
@@ -108,9 +123,9 @@ def optimize_pose_graph(
         free = (~prob.fixed).astype(prob.R.dtype)
         H = H * free[:, None, None, None] * free[None, None, :, None]
         b = b * free[:, None]
-        if fix_scale:
-            H = H.at[:, 6, :, :].set(0.0).at[:, :, :, 6].set(0.0)
-            b = b.at[:, 6].set(0.0)
+        for d in pin_dofs:
+            H = H.at[:, d, :, :].set(0.0).at[:, :, :, d].set(0.0)
+            b = b.at[:, d].set(0.0)
         # unit diagonal on pinned DOFs keeps the system nonsingular
         diag = jnp.einsum("kaka->ka", H)
         pin = (diag <= 1e-12).astype(prob.R.dtype)
@@ -121,11 +136,14 @@ def optimize_pose_graph(
 
         dx = -jnp.linalg.solve(H.reshape(K * 7, K * 7), b.reshape(K * 7))
         dx = dx.reshape(K, 7) * free[:, None]
-        if fix_scale:
-            dx = dx.at[:, 6].set(0.0)
+        for d in pin_dofs:
+            dx = dx.at[:, d].set(0.0)
 
         dR, dt, ds = lie.sim3_exp(dx)
-        R_n, t_n, s_n = jax.vmap(lie.sim3_mul)(dR, dt, ds, R, t, s)
+        if right:
+            R_n, t_n, s_n = jax.vmap(lie.sim3_mul)(R, t, s, dR, dt, ds)
+        else:
+            R_n, t_n, s_n = jax.vmap(lie.sim3_mul)(dR, dt, ds, R, t, s)
         R_n = lie.orthonormalize(R_n)
         ok = jnp.all(jnp.isfinite(dx))
         R = jnp.where(ok, R_n, R)

@@ -180,3 +180,86 @@ def dist_lm_step(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
     )
     return f(prob.poses_R, prob.poses_t, prob.fixed, prob.points,
              prob.kf_idx, prob.pt_idx, prob.uv, prob.inv_sigma2, prob.valid)
+
+
+def dist_cost(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
+              robust: bool = True):
+    """Total (Huber-robustified) chi2 over the mesh (one psum). Robust by
+    default so gross outliers — which BA cannot remove, only down-weight —
+    don't mask the inlier convergence signal."""
+    axis = "ba"
+
+    def f(poses_R, poses_t, points, kf_idx, pt_idx, uv, inv_s2, valid):
+        points, kf_idx, pt_idx, uv, inv_s2, valid = (
+            points[0], kf_idx[0], pt_idx[0], uv[0], inv_s2[0], valid[0]
+        )
+        r, _, _, w = _shard_terms(
+            cam_kind, cam_params, poses_R, poses_t, points,
+            kf_idx, pt_idx, uv, inv_s2, valid, robust, factors.CHI2_MONO)
+        return jax.lax.psum(jnp.sum(r * r * w[:, None]), axis)[None]
+
+    g = jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    return float(np.asarray(g(prob.poses_R, prob.poses_t, prob.points,
+                              prob.kf_idx, prob.pt_idx, prob.uv,
+                              prob.inv_sigma2, prob.valid))[0])
+
+
+def dist_bundle_adjust(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
+                       rounds=((5, True), (10, True)), lam: float = 1e-4,
+                       chi2_th: float = factors.CHI2_MONO):
+    """Full distributed BA: the single-device bundle_adjust's iteration
+    schedule (robust stages, then a cleanup stage) around dist_lm_step,
+    plus a final per-edge outlier classification. This is what the mapper
+    routes big global solves through (LocalMapper.run_global_ba).
+
+    Returns (prob_out, edge_valid (D,El) bool, costs list)."""
+    costs = [dist_cost(cam_kind, cam_params, prob, mesh)]
+    for iters, robust in rounds:
+        for _ in range(iters):
+            R, t, pts = dist_lm_step(cam_kind, cam_params, prob, mesh,
+                                     lam=lam, robust=robust,
+                                     chi2_th=chi2_th)
+            new = prob._replace(poses_R=R, poses_t=t, points=pts)
+            c = dist_cost(cam_kind, cam_params, new, mesh)
+            if np.isfinite(c) and c <= costs[-1] * 1.5:
+                prob, costs = new, costs + [c]
+            else:  # reject a diverging step, raise damping
+                lam *= 10.0
+        # between stages: drop edges past the chi2 gate, like g2o's
+        # outlier setLevel(1) between rounds (Optimizer.cc:999-1104) —
+        # the later (non-robust) stages must not chase gross outliers
+        prob = prob._replace(
+            valid=prob.valid & jnp.asarray(
+                _dist_classify(cam_kind, cam_params, prob, mesh, chi2_th)))
+    edge_valid = _dist_classify(cam_kind, cam_params, prob, mesh, chi2_th)
+    edge_valid = edge_valid & np.asarray(prob.valid)
+    return prob, edge_valid, costs
+
+
+def _dist_classify(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
+                   chi2_th: float):
+    """Per-edge chi2 gate (D, El) over the mesh."""
+    axis = "ba"
+
+    def cls(poses_R, poses_t, points, kf_idx, pt_idx, uv, inv_s2, valid):
+        points, kf_idx, pt_idx, uv, inv_s2, valid = (
+            points[0], kf_idx[0], pt_idx[0], uv[0], inv_s2[0], valid[0]
+        )
+        r, _, _, _ = _shard_terms(
+            cam_kind, cam_params, poses_R, poses_t, points,
+            kf_idx, pt_idx, uv, inv_s2, valid, False, chi2_th)
+        chi2 = jnp.sum(r * r, axis=-1) * inv_s2
+        return (valid & (chi2 < chi2_th))[None]
+
+    g = jax.shard_map(
+        cls, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    return np.asarray(g(prob.poses_R, prob.poses_t, prob.points,
+                        prob.kf_idx, prob.pt_idx, prob.uv,
+                        prob.inv_sigma2, prob.valid))

@@ -100,6 +100,12 @@ class LocalMapper:
         # hold it; jitted device solves run without it (slam/pipeline.py).
         from .pipeline import NULL_LOCK
         self.lock = NULL_LOCK
+        # distribution: when a jax.sharding.Mesh is installed here, global
+        # solves at/above dist_min_kfs route through the sharded Schur BA
+        # (parallel/dist_ba.py) — landmark blocks across devices, one psum
+        # for the reduced camera system
+        self.mesh = None
+        self.dist_min_kfs = 48
         # (mp_id, n_kf at creation) for MapPointCulling's age window
         self.recent_points: list[tuple[int, int]] = []
         self.kf_count = 0
@@ -351,13 +357,75 @@ class LocalMapper:
                 return
             pre_R = store.kf_R.copy()
             pre_t = store.kf_t.copy()
-        res = self._run_ba(list(kf_ids), fixed_ids=set(int(i) for i in fixed_ids),
-                           rounds=rounds, kf_cap=kf_cap, mp_cap=mp_cap,
-                           edge_cap=edge_cap)
+        if self.mesh is not None and len(kf_ids) >= self.dist_min_kfs:
+            res = self._run_dist_gba(list(kf_ids),
+                                     set(int(i) for i in fixed_ids), rounds,
+                                     kf_cap, mp_cap, edge_cap)
+        else:
+            res = self._run_ba(list(kf_ids),
+                               fixed_ids=set(int(i) for i in fixed_ids),
+                               rounds=rounds, kf_cap=kf_cap, mp_cap=mp_cap,
+                               edge_cap=edge_cap)
         if res is not None:
             with self.lock:
                 self.propagate_ba_correction(res["kf_ids"], res["mp_ids"],
                                              pre_R, pre_t, scope=kf_ids)
+
+    def _run_dist_gba(self, kf_ids, fixed_ids, rounds, kf_cap, mp_cap,
+                      edge_cap):
+        """Global BA through the device-mesh Schur solver
+        (parallel/dist_ba.py): landmark slabs sharded over the mesh, the
+        reduced camera system psum'd and solved replicated."""
+        from ..parallel import dist_ba as DBA
+
+        cfg = self.cfg
+        kf_cap = kf_cap or cfg.ba_kf_cap
+        mp_cap = mp_cap or cfg.ba_mp_cap
+        edge_cap = edge_cap or cfg.ba_edge_cap
+        with self.lock:
+            store = self.store
+            kf_ids, mp_ids, kf_e, slot_e, mp_e = self._gather_edges(
+                kf_ids, mp_ids=None, kf_cap=kf_cap, mp_cap=mp_cap,
+                edge_cap=edge_cap)
+            if len(kf_e) == 0:
+                return None
+            K = len(kf_ids)
+            kf_loc = np.zeros(store.k_max, np.int32)
+            kf_loc[kf_ids] = np.arange(K)
+            mp_loc = np.zeros(store.m_max, np.int32)
+            mp_loc[mp_ids] = np.arange(len(mp_ids))
+            fixed = np.asarray([int(i) in fixed_ids for i in kf_ids])
+            uv = store.kf_xy[kf_e, slot_e]
+            inv_s2 = 1.0 / (1.2 ** (2.0 * store.kf_octave[kf_e, slot_e]))
+            D = len(self.mesh.devices.ravel())
+            Ml = -(-len(mp_ids) // D)
+            El = -(-len(kf_e) // D) * 2  # slack for uneven buckets
+            prob, _ = DBA.partition_edges(
+                D, K, Ml, El, store.kf_R[kf_ids], store.kf_t[kf_ids], fixed,
+                store.mp_pos[mp_ids], kf_loc[kf_e], mp_loc[mp_e], uv,
+                inv_s2.astype(np.float32), np.ones(len(kf_e), bool))
+        out, _, costs = DBA.dist_bundle_adjust(
+            self.cam.kind, self.cam.params, prob, self.mesh, rounds=rounds)
+        with self.lock:
+            free = ~fixed & store.kf_valid[kf_ids]
+            store.kf_R[kf_ids[free]] = np.asarray(out.poses_R)[free]
+            store.kf_t[kf_ids[free]] = np.asarray(out.poses_t)[free]
+            # unshard the landmark slabs (round-robin ownership)
+            pts = np.asarray(out.points)  # (D, Ml, 3)
+            M = len(mp_ids)
+            owner = np.arange(M) % pts.shape[0]
+            local = np.arange(M) // pts.shape[0]
+            alive = store.mp_valid[mp_ids] & (local < pts.shape[1])
+            store.mp_pos[mp_ids[alive]] = pts[owner[alive], local[alive]]
+            # outlier detachment from final reprojection chi2 (host)
+            p_c = np.einsum("eij,ej->ei",
+                            store.kf_R[kf_e], store.mp_pos[mp_e]) + store.kf_t[kf_e]
+            uv_hat = np.asarray(self.cam.project(jnp.asarray(p_c)))
+            chi2 = ((uv_hat - uv) ** 2).sum(1) * inv_s2
+            bad_depth = p_c[:, 2] <= 0
+            ok = (chi2 < factors.CHI2_MONO) & ~bad_depth
+            self._detach_outliers(ok, kf_e, slot_e, mp_ids)
+        return {"kf_ids": kf_ids, "mp_ids": mp_ids, "costs": costs}
 
     def propagate_ba_correction(self, opt_kfs, opt_mps, pre_R, pre_t,
                                 scope=None):
@@ -532,6 +600,7 @@ class LocalMapper:
             alive = store.mp_valid[mp_ids]
             store.mp_pos[mp_ids[alive]] = out.points[: len(mp_ids)][alive]
             self._detach_outliers(out.valid[:n_e], kf_e, slot_e, mp_ids)
+            store.bump_change()
         return {"kf_ids": kf_ids, "mp_ids": mp_ids}
 
     # ------------------------------------------------------------------
@@ -601,12 +670,30 @@ class LocalMapper:
         store = self.store
         cfg = self.cfg
         self.lock.acquire()
+        try:
+            built = self._build_inertial_problem(
+                opt_ids, fixed_ids, vim, mp_ids, kf_cap, prior_g, prior_a)
+        finally:
+            self.lock.release()
+        if built is None:
+            return
+        prob, kf_ids, mp_ids, fixed, fix_pose_only, kf_e, slot_e, n_e = built
+        out = vi_ba.vi_bundle_adjust(self.cam.kind, self.cam.params, prob,
+                                     rounds=rounds)
+        with self.lock:
+            return self._write_back_inertial(out, kf_ids, mp_ids, fixed,
+                                             fix_pose_only, vim, kf_e,
+                                             slot_e, n_e)
+
+    def _build_inertial_problem(self, opt_ids, fixed_ids, vim, mp_ids,
+                                kf_cap, prior_g, prior_a):
+        store = self.store
+        cfg = self.cfg
         all_ids = sorted(set(int(i) for i in opt_ids) | set(int(i) for i in fixed_ids))
         kf_ids, mp_ids, kf_e, slot_e, mp_e = self._gather_edges(
             all_ids, mp_ids, kf_cap, cfg.iba_mp_cap, cfg.iba_edge_cap)
         if len(kf_e) == 0:
-            self.lock.release()
-            return
+            return None
         K, M, E = kf_cap, cfg.iba_mp_cap, cfg.iba_edge_cap
         nk = len(kf_ids)
         kf_loc = {int(kf): i for i, kf in enumerate(kf_ids)}
@@ -654,8 +741,7 @@ class LocalMapper:
                 pres.append(vim.kf_pre[kf])
                 n_l += 1
         if n_l < 2:
-            self.lock.release()
-            return  # no usable chain in the window; plain visual BA covers it
+            return None  # no usable chain; plain visual BA covers it
         pres.extend([empty] * (L - n_l))
         pre = jax.tree.map(lambda *xs: jnp.stack(xs), *pres)
 
@@ -676,16 +762,7 @@ class LocalMapper:
             prior_g=jnp.asarray(float(prior_g), jnp.float32),
             prior_a=jnp.asarray(float(prior_a), jnp.float32),
         )
-        self.lock.release()
-        out = vi_ba.vi_bundle_adjust(self.cam.kind, self.cam.params, prob,
-                                     rounds=rounds)
-        self.lock.acquire()
-        try:
-            return self._write_back_inertial(out, kf_ids, mp_ids, fixed,
-                                             fix_pose_only, vim, kf_e,
-                                             slot_e, n_e)
-        finally:
-            self.lock.release()
+        return prob, kf_ids, mp_ids, fixed, fix_pose_only, kf_e, slot_e, n_e
 
     def _write_back_inertial(self, out, kf_ids, mp_ids, fixed, fix_pose_only,
                              vim, kf_e, slot_e, n_e):
@@ -711,7 +788,24 @@ class LocalMapper:
         store.mp_pos[mp_ids] = np.asarray(out.points)[: len(mp_ids)]
         self._detach_outliers(np.asarray(out.valid)[:n_e], kf_e, slot_e,
                               mp_ids)
+        store.bump_change()
         return {"kf_ids": kf_ids, "mp_ids": mp_ids}
+
+    def _inertial_cull_ok(self, j: int) -> bool:
+        """Inertial culling gates (LocalMapping.cc:1195-1229): keep the map
+        above Nd=21 KFs, and only splice a chain link whose removal leaves
+        a short preintegration span (t < 3 s once the IMU is initialized,
+        else t < 0.5 s) — long gaps degrade the inertial factors."""
+        store = self.store
+        if store.kf_valid.sum() <= 21:
+            return False
+        prev = int(store.kf_prev[j])
+        succ = np.nonzero(store.kf_prev == j)[0]
+        succ = [s for s in succ if store.kf_valid[s]]
+        if prev < 0 or not store.kf_valid[prev] or not succ:
+            return False
+        t = float(store.kf_timestamp[succ[0]] - store.kf_timestamp[prev])
+        return (store.imu_initialized and t < 3.0) or (t < 0.5)
 
     def _repair_imu_chain(self, j: int):
         """Splice KF j out of the IMU chain before culling it: its
@@ -750,6 +844,8 @@ class LocalMapper:
                 continue
             if self.kf_count - self.kf_born.get(j, 0) < cfg.kf_cull_min_age:
                 continue  # recent KFs anchor new-landmark triangulation
+            if self.vim is not None and not self._inertial_cull_ok(j):
+                continue
             slots = np.nonzero(store.kf_obs[j] >= 0)[0]
             if len(slots) == 0:
                 continue

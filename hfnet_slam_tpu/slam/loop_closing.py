@@ -122,6 +122,12 @@ class LoopCloser:
                 self.consistent_hits = 1
             self.last_candidate = cand
             if self.consistent_hits >= self.cfg.consistency_hits:
+                if store.imu_initialized:
+                    hit = self._gravity_gate(k, cand, *hit)
+                    if hit is None:  # BAD LOOP (LoopClosing.cc:262)
+                        self.consistent_hits = 0
+                        self.last_candidate = -1
+                        return False
                 self.stats["detected"] += 1
                 self._correct_loop(k, cand, *hit)
                 self.consistent_hits = 0
@@ -129,6 +135,36 @@ class LoopCloser:
                 return True
             return False
         return self._try_merge(k)
+
+    def _gravity_gate(self, k, cand, R_cm, t_cm, s_cm, loop_mps):
+        """Inertial loops must not bend the horizon: the world-frame
+        correction S_ww = T_wk o S_cw must be near-pure-yaw
+        (|roll|,|pitch| < 0.016 rad, |roll|+|pitch| < 0.024, |yaw| < 0.349;
+        LoopClosing.cc:242-264). After VIBA2 the residual roll/pitch is
+        zeroed and scale forced to 1 before correcting."""
+        store = self.store
+        Rk, tk = store.kf_R[k], store.kf_t[k]
+        Rc, tc = store.kf_R[cand], store.kf_t[cand]
+        R_cw = R_cm @ Rc
+        t_cw = s_cm * (R_cm @ tc) + t_cm
+        # S_ww = T_kw^{-1} o S_cw (scale s_cm)
+        R_ww = Rk.T @ R_cw
+        t_ww = Rk.T @ (t_cw - tk)
+        phi = np.asarray(lie.so3_log(jnp.asarray(R_ww)))
+        if not (abs(phi[0]) < 0.016 and abs(phi[1]) < 0.016
+                and abs(phi[0]) + abs(phi[1]) < 0.024 and abs(phi[2]) < 0.349):
+            return None
+        if store.viba2:
+            phi = np.array([0.0, 0.0, phi[2]], np.float32)
+            R_ww = np.asarray(lie.so3_exp(jnp.asarray(phi)))
+            # S_cw' = T_kw o S_ww' (yaw-only, unit scale)
+            R_cw = Rk @ R_ww
+            t_cw = Rk @ t_ww + tk
+            # back to the candidate-relative form S_cm' = S_cw' o T_mw^{-1}
+            R_cm = R_cw @ Rc.T
+            t_cm = t_cw - R_cm @ tc
+            s_cm = 1.0
+        return R_cm, t_cm, s_cm, loop_mps
 
     # ------------------------------------------------------------------
     # cross-map merge detection (the merge half of NewDetectCommonRegions)
@@ -138,12 +174,10 @@ class LoopCloser:
         if sys_ is None or sys_.atlas.n_maps() < 2:
             return False
         store = self.store
-        if store.imu_initialized:
-            return False  # inertial merge (MergeLocal2) is a later milestone
         if int((store.kf_obs[k] >= 0).sum()) < self.cfg.min_pair_matches:
             return False
         for idx, m in enumerate(sys_.atlas.maps):
-            if m is store or m.kf_valid.sum() < 3 or m.imu_initialized:
+            if m is store or m.kf_valid.sum() < 3:
                 continue
             cands = retrieval.detect_n_best_candidates(
                 m, store.kf_gdesc[k], exclude=set(), n=self.cfg.n_candidates
@@ -293,13 +327,18 @@ class LoopCloser:
                               (R_cm, t_cm, s_cm), window)
         store.loop_edges.append((int(cand), int(k)))
 
-        # ---- global BA (:2408) ------------------------------------------
+        # ---- global BA (:2408; FullInertialBA(7) for inertial maps) -----
         if cfg.run_gba and self.mapper is not None:
-            self.mapper.run_global_ba(
-                fixed_ids=[int(cand)], rounds=cfg.gba_rounds,
-                kf_cap=cfg.gba_kf_cap, mp_cap=cfg.gba_mp_cap,
-                edge_cap=cfg.gba_edge_cap,
-            )
+            if store.imu_initialized and self.mapper.vim is not None:
+                self.mapper.full_inertial_ba(self.mapper.vim,
+                                             rounds=((3, True), (4, False)))
+            else:
+                self.mapper.run_global_ba(
+                    fixed_ids=[int(cand)], rounds=cfg.gba_rounds,
+                    kf_cap=cfg.gba_kf_cap, mp_cap=cfg.gba_mp_cap,
+                    edge_cap=cfg.gba_edge_cap,
+                )
+        store.bump_change()
         self.stats["corrected"] += 1
         self.last_loop = (int(k), int(cand))
 
@@ -483,8 +522,12 @@ class LoopCloser:
             e_R=jnp.asarray(Rm), e_t=jnp.asarray(tm), e_s=jnp.asarray(sm),
             e_w=jnp.asarray(w), e_valid=jnp.ones(E, bool),
         )
+        # inertial maps use the gravity-preserving 4-DoF graph
+        # (OptimizeEssentialGraph4DoF, Optimizer.cc:5292; chosen at
+        # LoopClosing.cc:1316-1324)
+        mode = "4dof" if store.imu_initialized else "sim3"
         out, _ = pg.optimize_pose_graph(prob, n_iters=cfg.pg_iters,
-                                        fix_scale=cfg.fix_scale)
+                                        fix_scale=cfg.fix_scale, mode=mode)
 
         R_new = np.asarray(out.R)
         t_new = np.asarray(out.t)

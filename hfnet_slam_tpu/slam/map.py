@@ -89,6 +89,15 @@ class MapStore:
         # uid -> (parent_uid, R_rel, t_rel): pose of the culled KF relative
         # to its parent at cull time (T_culled = T_rel o T_parent)
         self.cull_redirect: dict[int, tuple] = {}
+        # map change counter (Map::GetMapChangeIndex analogue): bumped by
+        # every geometry write-back (BA, loop correction, gravity
+        # alignment) so the tracker can tell whether the map moved since
+        # the last frame (chooses LastFrame vs LastKeyFrame VI anchoring,
+        # Tracking.cc mbMapUpdated)
+        self.map_change_idx = 0
+
+    def bump_change(self):
+        self.map_change_idx += 1
 
     # ------------------------------------------------------------------
     # keyframes

@@ -4,10 +4,11 @@ The reference's signature multi-map mechanism (LoopClosing::MergeLocal,
 /root/reference/src/LoopClosing.cc:1355): when place recognition matches a
 keyframe of the ACTIVE map into a STORED map, the active map is
 Sim3-transformed into the stored map's frame and absorbed — keyframes,
-landmarks, observations and covisibility move over; duplicated landmarks
-in the welding window fuse; a welding-window local BA polishes the seam.
-Round-1 scope is the visual merge (the inertial MergeLocal2 path follows
-the VI-BA milestone).
+landmarks, observations, covisibility and the IMU chain move over;
+duplicated landmarks in the welding window fuse; a welding-window BA
+polishes the seam. Inertial welds (MergeLocal2, LoopClosing.cc:1923) gate
+the transform on scale/gravity in slam/system.py::execute_merge and run
+the window VI-BA (MergeInertialBA analogue) after the weld.
 
 With the struct-of-arrays MapStore the merge is array surgery: transform,
 copy rows, remap ids — no pointer fix-ups.
@@ -101,10 +102,16 @@ def merge_into(active: MapStore, target: MapStore, G, cam=None):
         target.kf_bg[b] = active.kf_bg[a]
         target.kf_ba[b] = active.kf_ba[a]
         kf_remap[int(a)] = int(b)
-    # parents + first-observer bookkeeping in the new id space
+    # parents + IMU chain + first-observer bookkeeping in the new id space
     for a, b in kf_remap.items():
         p = int(active.kf_parent[a])
         target.kf_parent[b] = kf_remap.get(p, -1)
+        target.kf_prev[b] = kf_remap.get(int(active.kf_prev[a]), -1)
+    # inertial state flags travel with the stronger map (MergeLocal2 keeps
+    # the merged map inertial-initialized, LoopClosing.cc:1923-)
+    target.imu_initialized = target.imu_initialized or active.imu_initialized
+    target.viba1 = target.viba1 or active.viba1
+    target.viba2 = target.viba2 or active.viba2
     for a, b in mp_remap.items():
         f = int(active.mp_first_kf[a])
         target.mp_first_kf[b] = kf_remap.get(f, -1)

@@ -35,7 +35,24 @@ class RetrievalConfig:
 
 def score_all(store: MapStore, gdesc) -> np.ndarray:
     """(K,) retrieval scores of a query global descriptor against every
-    valid keyframe. One MXU matmul over the whole database."""
+    valid keyframe. One MXU matmul over the whole database; when a device
+    mesh is installed on the store (SLAMSystem.install_mesh) and the
+    keyframe table is large enough, the matmul runs sharded over the
+    keyframe axis (parallel/retrieval.py) with the device-side table
+    cached against a map version counter."""
+    mesh = getattr(store, "retrieval_mesh", None)
+    if mesh is not None and store.k_max >= getattr(store, "retrieval_min_kfs", 64):
+        from ..parallel import retrieval as pret
+
+        version = (store.n_kf, len(store._free_kf))
+        cache = getattr(store, "_retrieval_cache", None)
+        if cache is None or cache[0] != version:
+            db, vm = pret.make_sharded_db(mesh, store.kf_gdesc, store.kf_valid)
+            store._retrieval_cache = (version, db, vm)
+        _, db, vm = store._retrieval_cache
+        sc = pret.sharded_scores(mesh, np.asarray(gdesc, np.float32)[None],
+                                 db, vm)
+        return np.array(sc[0])
     sc = M.global_scores(
         jnp.asarray(gdesc, jnp.float32),
         jnp.asarray(store.kf_gdesc),

@@ -143,6 +143,31 @@ class SLAMSystem:
         feats = self.extractor(image)
         return self.track_features(feats, timestamp, imu=imu)
 
+    def install_mesh(self, mesh, dist_min_kfs: int = 48,
+                     retrieval_min_kfs: int = 64):
+        """Route big compute over a jax.sharding.Mesh: global BA through
+        the distributed Schur solver (parallel/dist_ba.py) and place-
+        recognition scans through the KF-axis-sharded matmul
+        (parallel/retrieval.py). Single-chip behavior is unchanged below
+        the size thresholds."""
+        self.mapper.mesh = mesh
+        self.mapper.dist_min_kfs = dist_min_kfs
+        self._mesh = (mesh, dist_min_kfs, retrieval_min_kfs)
+        for m in self.atlas.maps:
+            m.retrieval_mesh = mesh
+            m.retrieval_min_kfs = retrieval_min_kfs
+
+    def activate_localization_mode(self):
+        """System::ActivateLocalizationMode: track against the frozen map —
+        no keyframes, no mapping, no loop closing (mapping worker idles)."""
+        with self.tracker.lock:
+            self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self):
+        """System::DeactivateLocalizationMode: resume full SLAM."""
+        with self.tracker.lock:
+            self.tracker.localization_only = False
+
     def finish(self):
         """Drain the async mapping queue (no-op in sync mode). Call before
         reading final map state or saving trajectories."""
@@ -187,14 +212,31 @@ class SLAMSystem:
     def execute_merge(self, target_idx: int, k: int, cand: int,
                       R_cm, t_cm, s_cm, win_mps) -> bool:
         """Weld the active map into atlas map `target_idx` via the matched
-        Sim3 (LoopClosing::MergeLocal, LoopClosing.cc:1355). Called by the
-        loop closer when place recognition hits a stored map."""
+        Sim3 (LoopClosing::MergeLocal, LoopClosing.cc:1355; the inertial
+        MergeLocal2 path, :1923, adds the scale and gravity gates). Called
+        by the loop closer when place recognition hits a stored map."""
+        from .. import lie
         from . import merging
 
         active = self.store
         target = self.atlas.maps[target_idx]
         G = merging.compute_world_transform(active, target, k, cand,
                                             R_cm, t_cm, s_cm)
+        if active.imu_initialized and target.imu_initialized:
+            # inertial<->inertial welding (LoopClosing.cc:140-159): the
+            # world transform must preserve metric scale...
+            Rg, tg, sg = G
+            if not (0.90 <= sg <= 1.1):
+                return False  # "scale bad estimated. Abort merging"
+            if active.viba1:
+                # ... and gravity: force yaw-only, unit scale
+                import jax.numpy as jnp
+
+                phi = np.asarray(lie.so3_log(jnp.asarray(Rg)))
+                phi[0] = 0.0
+                phi[1] = 0.0
+                Rg = np.asarray(lie.so3_exp(jnp.asarray(phi)))
+                G = (Rg, tg, 1.0)
         kf_remap, mp_remap = merging.merge_into(active, target, G)
         if k not in kf_remap:
             return False
@@ -219,9 +261,15 @@ class SLAMSystem:
             tr.last_frame.R = target.kf_R[k_new].copy()
             tr.last_frame.t = target.kf_t[k_new].copy()
             tr.last_frame.obs = target.kf_obs[k_new].copy()
+        target.bump_change()  # the weld moved geometry under the tracker
+        tr._vi_state = None
         if tr.vi is not None:
             tr.vi.store = target
-            tr.vi.kf_pre.clear()
+            # chain preintegrations follow their keyframes into the target
+            # id space (they are body-frame quantities — invariant to the
+            # world transform)
+            tr.vi.kf_pre = {kf_remap[a]: pre for a, pre in tr.vi.kf_pre.items()
+                            if a in kf_remap}
             tr._imu_since_kf = []
         # re-anchor the trajectory segment recorded in the absorbed map:
         # absolute fallbacks move into the target world frame, and the
@@ -252,19 +300,27 @@ class SLAMSystem:
             window = [k_new] + [int(j) for j in target.covisible_kfs(k_new, n=8, min_weight=1)]
             self.loop_closer._fuse_loop_points(window, np.asarray(win_mps))
         if self.mapper is not None:
-            self.mapper.local_ba(k_new)
-            lc = self.cfg.loop
-            anchor = int(target.valid_kf_ids()[0])
-            self.mapper.run_global_ba(
-                fixed_ids=[anchor], rounds=lc.gba_rounds,
-                kf_cap=lc.gba_kf_cap, mp_cap=lc.gba_mp_cap,
-                edge_cap=lc.gba_edge_cap,
-            )
+            if target.imu_initialized and self.mapper.vim is not None:
+                # MergeInertialBA analogue (Optimizer.cc:3948): VI window
+                # BA around the weld instead of the visual welding BA
+                self.mapper.local_inertial_ba(k_new, self.mapper.vim)
+            else:
+                self.mapper.local_ba(k_new)
+                lc = self.cfg.loop
+                anchor = int(target.valid_kf_ids()[0])
+                self.mapper.run_global_ba(
+                    fixed_ids=[anchor], rounds=lc.gba_rounds,
+                    kf_cap=lc.gba_kf_cap, mp_cap=lc.gba_mp_cap,
+                    edge_cap=lc.gba_edge_cap,
+                )
             self.tracker.last_frame.R = target.kf_R[k_new].copy()
             self.tracker.last_frame.t = target.kf_t[k_new].copy()
         return True
 
     def _rewire(self, store):
+        if getattr(self, "_mesh", None) is not None:
+            store.retrieval_mesh = self._mesh[0]
+            store.retrieval_min_kfs = self._mesh[2]
         self.mapper.store = store
         self.mapper.recent_points = []
         self.mapper.kf_born = {}

@@ -146,6 +146,14 @@ class Tracker:
         self.vi = vi  # slam.vi.VIManager or None (visual-inertial mode)
         self._imu_since_kf: list = []  # raw (N,7) blocks since last KF
         self._last_kf = -1
+        # LastFrame VI anchoring (PoseInertialOptimizationLastFrame,
+        # Optimizer.cc:4875): the previous frame's optimized body state +
+        # its frame-to-frame preintegration chain inter-KF information;
+        # falls back to the LastKeyFrame anchor whenever the map moved
+        # (store.map_change_idx, the reference's mbMapUpdated)
+        self._vi_state = None          # (R_wb, p_wb, v, bg, ba)
+        self._cur_imu_block = None     # raw rows for the current frame
+        self._seen_change = -1
         self.state = NOT_INITIALIZED
         self.last_frame: Optional[Frame] = None
         self.init_ref: Optional[Frame] = None
@@ -165,6 +173,10 @@ class Tracker:
         from .pipeline import NULL_LOCK
         self.lock = NULL_LOCK
         self.worker = None
+        # localization-only mode (System::ActivateLocalizationMode,
+        # include/System.h:84-263): track against the frozen map, never
+        # insert keyframes or touch mapping
+        self.localization_only = False
 
     # ------------------------------------------------------------------
     def reset_for_new_map(self, store: MapStore):
@@ -181,6 +193,8 @@ class Tracker:
         self.n_inliers = 0
         self._imu_since_kf = []
         self._last_kf = -1
+        self._vi_state = None
+        self._seen_change = -1
         if self.vi is not None:
             self.vi.store = store
             self.vi.kf_pre.clear()
@@ -203,8 +217,21 @@ class Tracker:
             if self.cfg.th_far > 0:  # System.thFarPoints (Settings.h)
                 depth = np.where(depth > self.cfg.th_far, 0.0, depth)
         frame = Frame(feats=feats, timestamp=timestamp, depth=depth)
+        # timestamp-jump guards (Tracking.cc:1122-1160): a backward jump or
+        # a long gap breaks the motion model / IMU integration — reset to
+        # LOST so the Atlas layer recovers via a new map
+        if self.last_frame is not None and self.state == OK:
+            dt = timestamp - self.last_frame.timestamp
+            max_gap = 1.0 if self.vi is not None else 5.0
+            if dt < 0 or dt > max_gap:
+                self.state = LOST
+                self.frame_id += 1
+                return self.state, None, None
         if self.vi is not None and imu is not None and len(imu):
             self._imu_since_kf.append(np.asarray(imu, np.float32))
+            self._cur_imu_block = np.asarray(imu, np.float32)
+        else:
+            self._cur_imu_block = None
         if self.state == NOT_INITIALIZED:
             if frame.depth is not None:
                 self._stereo_initialization(frame)
@@ -222,7 +249,7 @@ class Tracker:
             if frame.R is None:
                 self._on_tracking_failure()
             else:
-                if self._need_new_keyframe(frame):
+                if not self.localization_only and self._need_new_keyframe(frame):
                     self._create_keyframe(frame)
                 self.last_frame = frame
         elif self.state == RECENTLY_LOST:
@@ -493,21 +520,37 @@ class Tracker:
 
     def _pose_optimize_frame_vi(self, frame, R0, t0, pts, inv_sigma2, valid):
         """15-d state [R_wb p_wb v bg ba] with visual + inertial + bias-RW
-        factors, anchored at the last keyframe's state."""
+        factors. Anchored at the LAST FRAME's optimized state (with its
+        frame-to-frame preintegration) when the map has not moved since —
+        the reference's PoseInertialOptimizationLastFrame alternation
+        (Optimizer.cc:4875, chosen by mbMapUpdated at Tracking.cc:2292) —
+        else at the last keyframe (…LastKeyFrame, :4491)."""
         from ..optim import inertial as VIOPT
 
         store = self.store
         vi = self.vi
-        k = self._last_kf
-        pre = self._pre_from_kf()
-        R1, p1 = vi.cam_to_body(store.kf_R[k], store.kf_t[k])
+        map_updated = store.map_change_idx != self._seen_change
+        self._seen_change = store.map_change_idx
+        use_last_frame = (
+            not map_updated and self._vi_state is not None
+            and self._cur_imu_block is not None and len(self._cur_imu_block)
+        )
+        if use_last_frame:
+            R1, p1, v1, bg1, ba1 = self._vi_state
+            pre = vi.integrate(self._cur_imu_block, bg1, ba1)
+        else:
+            k = self._last_kf
+            pre = self._pre_from_kf()
+            R1, p1 = vi.cam_to_body(store.kf_R[k], store.kf_t[k])
+            v1 = store.kf_vel[k]
+            bg1, ba1 = store.kf_bg[k], store.kf_ba[k]
         R2, p2 = vi.cam_to_body(R0, t0)
-        v2 = frame.v if frame.v is not None else store.kf_vel[k]
+        v2 = frame.v if frame.v is not None else v1
         res = VIOPT.pose_inertial_optimize(
             self.cam.kind, self.cam.params,
             vi.calib.Tbc_R, vi.calib.Tbc_t,
-            jnp.asarray(R1), jnp.asarray(p1), jnp.asarray(store.kf_vel[k]),
-            jnp.asarray(store.kf_bg[k]), jnp.asarray(store.kf_ba[k]),
+            jnp.asarray(R1), jnp.asarray(p1), jnp.asarray(v1),
+            jnp.asarray(bg1), jnp.asarray(ba1),
             pre,
             jnp.asarray(R2), jnp.asarray(p2), jnp.asarray(v2),
             jnp.asarray(pts), frame.feats.xy,
@@ -515,6 +558,9 @@ class Tracker:
         )
         frame.R, frame.t = vi.body_to_cam(np.asarray(res["R"]), np.asarray(res["p"]))
         frame.v = np.asarray(res["v"])
+        self._vi_state = (np.asarray(res["R"]), np.asarray(res["p"]),
+                          np.asarray(res["v"]), np.asarray(res["bg"]),
+                          np.asarray(res["ba"]))
         inlier = np.asarray(res["inlier"])
         frame.obs = np.where(inlier, frame.obs, -1).astype(np.int32)
         return int(inlier.sum())
@@ -750,23 +796,63 @@ class Tracker:
     # keyframe policy
     # ------------------------------------------------------------------
     def _need_new_keyframe(self, frame) -> bool:
+        """Tracking::NeedNewKeyFrame (Tracking.cc:2390-2545), all
+        conditions: c1a (max frames), c1b (min frames + mapper idle),
+        c1c (depth sensors: weak tracking / close-point starvation),
+        c2 (ref-ratio), c3 (inertial 0.5 s cadence), c4 (inertial low
+        inliers), plus the pre-IMU-init 0.25 s cadence and the
+        mapper-busy drop policy."""
         cfg = self.cfg
         store = self.store
         self.frames_since_kf += 1
         if self.ref_kf < 0:
             return False
-        n_ref = int((store.kf_obs[self.ref_kf] >= 0).sum())
+        vi_mode = self.vi is not None
+        is_depth = frame.depth is not None
+        # inertial maps before IMU init: fixed 0.25 s cadence (:2392-2400)
+        if vi_mode and not store.imu_initialized:
+            return (self._last_kf >= 0 and
+                    frame.timestamp - store.kf_timestamp[self._last_kf] >= 0.25)
+        n_kfs = int(store.kf_valid.sum())
+        # reference KF's well-observed points (TrackedMapPoints(nMinObs))
+        min_obs = 3 if n_kfs > 2 else 2
+        ref_mp = store.kf_obs[self.ref_kf]
+        ref_mp = ref_mp[ref_mp >= 0]
+        n_ref = int((store.mp_obs_count[ref_mp] >= min_obs).sum())
+        mapper_idle = self.worker is None or self.worker.queue_size() == 0
+
+        need_close = False
+        if is_depth:
+            close = ((frame.depth > 0) & (frame.depth < cfg.th_depth)
+                     & np.asarray(frame.feats.mask))
+            tracked_close = int((close & (frame.obs >= 0)).sum())
+            need_close = tracked_close < 100 and int(
+                (close & (frame.obs < 0)).sum()) > 70
+
+        th_ref = 0.75 if is_depth else cfg.kf_ref_ratio  # mono 0.9 (:2470)
+        if n_kfs < 2:
+            th_ref = 0.4
+        if vi_mode and not is_depth:  # IMU_MONOCULAR (:2476-2482)
+            th_ref = 0.75 if self.n_inliers > 350 else cfg.kf_ref_ratio
+
         c1a = self.frames_since_kf >= cfg.max_frames_between_kf
-        c2 = (self.n_inliers < cfg.kf_ref_ratio * n_ref) and (self.n_inliers > 15)
-        need = (c1a and self.n_inliers > 15) or (
-            c2 and self.frames_since_kf > cfg.min_frames_between_kf
-        )
-        if need and self.worker is not None and self.worker.queue_size() >= 3:
-            # mapping busy: hold the keyframe (NeedNewKeyFrame's
-            # mapper-idle condition, Tracking.cc:2500-2540 — the reference
-            # drops KFs when >=3 are queued in LocalMapping)
+        c1b = (self.frames_since_kf >= cfg.min_frames_between_kf
+               and mapper_idle)
+        c1c = (is_depth and not vi_mode
+               and (self.n_inliers < 0.25 * n_ref or need_close))
+        c2 = ((self.n_inliers < th_ref * n_ref or need_close)
+              and self.n_inliers > 15)
+        c3 = (vi_mode and self._last_kf >= 0 and
+              frame.timestamp - store.kf_timestamp[self._last_kf] >= 0.5)
+        c4 = vi_mode and not is_depth and 15 < self.n_inliers < 75
+        if not (((c1a or c1b or c1c) and c2) or c3 or c4):
             return False
-        return bool(need)
+        if mapper_idle:
+            return True
+        # mapping busy (:2524-2543): depth sensors still insert while the
+        # queue is short; monocular drops the keyframe
+        return is_depth and self.worker is not None and \
+            self.worker.queue_size() < 3
 
     def _create_keyframe(self, frame):
         store = self.store

@@ -47,6 +47,10 @@ class VIConfig:
     min_scale: float = 1e-1    # abort gate (LocalMapping.cc:1457)
     chain_cap: int = 64        # max KFs in one init problem
     meas_cap: int = 256        # padded measurements per preintegration call
+    # periodic mono scale refinement after full init (ScaleRefinement,
+    # LocalMapping.cc:1615, fired ~every 10 s at :255-275)
+    scale_refine_interval: float = 10.0
+    scale_refine_tol: float = 0.002  # apply only if |s-1| exceeds this
 
 
 class VIManager:
@@ -62,6 +66,7 @@ class VIManager:
         self.first_kf_ts: float = None
         self.stage = 0  # 0 = visual only, 1 = initialized, 2 = viba1, 3 = viba2
         self.mapper = None  # LocalMapper, set by System — runs FullInertialBA
+        self._last_refine_ts: float = None
 
     # ------------------------------------------------------------------
     # frame-level helpers
@@ -150,8 +155,53 @@ class VIManager:
             return self._run_stage(cfg.prior_g_viba1, cfg.prior_a_viba1,
                                    fix_scale=False, stage=2)
         if self.stage == 2 and elapsed >= cfg.t_viba2:
-            return self._run_stage(0.0, 0.0, fix_scale=False, stage=3)
+            ran = self._run_stage(0.0, 0.0, fix_scale=False, stage=3)
+            if ran:
+                self._last_refine_ts = now_ts
+            return ran
+        if self.stage == 3:
+            if self._last_refine_ts is None:
+                self._last_refine_ts = now_ts
+            elif now_ts - self._last_refine_ts >= cfg.scale_refine_interval:
+                self._last_refine_ts = now_ts
+                return self._scale_refinement()
         return False
+
+    def _scale_refinement(self) -> bool:
+        """Periodic mono scale/gravity-direction refinement
+        (LocalMapping::ScaleRefinement, LocalMapping.cc:1615): inertial-only
+        solve with biases pinned (huge priors); the map is re-aligned only
+        when the scale estimate drifts beyond tol (|s-1| > 0.002)."""
+        store = self.store
+        cfg = self.cfg
+        links = self.chain()
+        if len(links) + 1 < cfg.min_kfs_for_init:
+            return False
+        links = links[-cfg.chain_cap:]
+        kf_ids = [links[0][0]] + [k for _, k, _ in links]
+        for n in range(1, len(links)):
+            if links[n][0] != links[n - 1][1]:
+                return False
+        R_wb = np.zeros((len(kf_ids), 3, 3), np.float32)
+        p_wb = np.zeros((len(kf_ids), 3), np.float32)
+        for n, k in enumerate(kf_ids):
+            R_wb[n], p_wb[n] = self.cam_to_body(store.kf_R[k], store.kf_t[k])
+        pres = jax.tree.map(lambda *xs: jnp.stack(xs), *[p for _, _, p in links])
+        res = VI.inertial_init(
+            jnp.asarray(R_wb), jnp.asarray(p_wb), pres,
+            prior_g=1e10, prior_a=1e10, fix_scale=False,
+        )
+        s = float(res["scale"])
+        if not np.isfinite(s) or s < cfg.min_scale:
+            return False
+        if abs(s - 1.0) <= cfg.scale_refine_tol:
+            return False  # already consistent; nothing to apply
+        Rwg = np.asarray(res["Rwg"])
+        self.apply_scaled_rotation(Rwg.T, s)
+        v = np.asarray(res["v"]) @ Rwg
+        for n, k in enumerate(kf_ids):
+            store.kf_vel[k] = v[n]
+        return True
 
     def _run_stage(self, prior_g, prior_a, fix_scale, stage) -> bool:
         store = self.store
@@ -223,6 +273,7 @@ class VIManager:
         sel = store.mp_valid
         store.mp_pos[sel] = s * (store.mp_pos[sel] @ Rgw.T)
         store.kf_vel[ids] = s * (store.kf_vel[ids] @ Rgw.T)
+        store.bump_change()
 
     # ------------------------------------------------------------------
     def predict(self, k_or_state, pre: IMU.Preintegrated):

@@ -440,3 +440,108 @@ class TestGBAPropagation:
         # (they started consistent with pre poses)
         store2, ids2 = self._store()
         np.testing.assert_allclose(expect, store2.mp_pos[ids2[40:]], atol=1e-4)
+
+
+class TestFourDoF:
+    """OptimizeEssentialGraph4DoF analogue: the inertial pose graph must
+    correct drift with yaw+translation only — roll/pitch (the gravity
+    direction) and scale stay pinned (Optimizer.cc:5292)."""
+
+    def test_4dof_preserves_horizon(self):
+        from hfnet_slam_tpu.optim import pose_graph as pg
+
+        rng = np.random.default_rng(0)
+        K = 10
+        # ground truth: yaw-circle of cameras (world z = gravity)
+        gt_R, gt_t = [], []
+        for i in range(K):
+            yaw = 2 * np.pi * i / K
+            R = np.asarray(lie.so3_exp(jnp.asarray([0, 0, yaw], jnp.float32)))
+            gt_R.append(R)
+            gt_t.append(np.asarray([np.cos(yaw), np.sin(yaw), 0.0], np.float32))
+        gt_R, gt_t = np.stack(gt_R), np.stack(gt_t)
+        # drifted estimate: growing extra yaw + translation noise
+        est_R, est_t = gt_R.copy(), gt_t.copy()
+        for i in range(K):
+            dyaw = 0.05 * i
+            Rd = np.asarray(lie.so3_exp(jnp.asarray([0, 0, dyaw], jnp.float32)))
+            est_R[i] = est_R[i] @ Rd  # world-side yaw drift
+            est_t[i] = est_t[i] + rng.normal(0, 0.02, 3).astype(np.float32)
+
+        pairs = [(i, i + 1) for i in range(K - 1)]
+        Rm, tm, sm, w = pg.make_edges_from_poses(
+            est_R, est_t, np.ones(K, np.float32), np.asarray(pairs),
+        )
+        # loop edge 0 -> K-1 with the TRUE relative pose
+        Rt, tt, st, _ = pg.make_edges_from_poses(
+            gt_R, gt_t, np.ones(K, np.float32), np.asarray([(0, K - 1)]),
+        )
+        pairs.append((0, K - 1))
+        Rm = np.concatenate([Rm, Rt]); tm = np.concatenate([tm, tt])
+        sm = np.concatenate([sm, st]); w = np.concatenate([w, [1.0]])
+        fixed = np.zeros(K, bool); fixed[0] = True
+        prob = pg.PoseGraphProblem(
+            R=jnp.asarray(est_R), t=jnp.asarray(est_t),
+            s=jnp.ones(K), fixed=jnp.asarray(fixed),
+            e_i=jnp.asarray([p[0] for p in pairs], jnp.int32),
+            e_j=jnp.asarray([p[1] for p in pairs], jnp.int32),
+            e_R=jnp.asarray(Rm), e_t=jnp.asarray(tm), e_s=jnp.asarray(sm),
+            e_w=jnp.asarray(w), e_valid=jnp.ones(len(pairs), bool),
+        )
+        out, _ = pg.optimize_pose_graph(prob, n_iters=20, mode="4dof")
+        R_out = np.asarray(out.R)
+        # scale untouched
+        np.testing.assert_allclose(np.asarray(out.s), 1.0, atol=1e-6)
+        # every camera's world-z axis unchanged: rotation applied was
+        # yaw-only, so R_out R_est^T must map e_z to e_z
+        for i in range(K):
+            dR = R_out[i].T @ np.asarray(est_R[i])  # world-side update
+            np.testing.assert_allclose(dR @ [0, 0, 1], [0, 0, 1], atol=1e-4)
+        # drift reduced: last KF closer to GT than before
+        err0 = np.linalg.norm(est_t[-1] - gt_t[-1])
+        err1 = np.linalg.norm(np.asarray(out.t[-1]) - gt_t[-1])
+        rot0 = np.degrees(np.abs(np.asarray(
+            lie.so3_log(jnp.asarray(est_R[-1] @ gt_R[-1].T)))).max())
+        rot1 = np.degrees(np.abs(np.asarray(
+            lie.so3_log(jnp.asarray(R_out[-1] @ gt_R[-1].T)))).max())
+        assert rot1 < rot0 * 0.5, f"yaw drift {rot0:.2f} -> {rot1:.2f} deg"
+        assert err1 < err0 * 1.5  # translation not degraded
+
+
+class TestGravityGate:
+    def _closer(self):
+        from hfnet_slam_tpu.models.extractor import Features
+        from hfnet_slam_tpu.slam.loop_closing import LoopCloser, LoopCloserConfig
+        from hfnet_slam_tpu.slam.map import MapStore
+
+        rng = np.random.default_rng(0)
+        store = MapStore(k_max=8, m_max=64, n_slots=16, desc_dim=8, gdesc_dim=8)
+        d = rng.standard_normal((16, 8)).astype(np.float32)
+        feats = Features(xy=jnp.zeros((16, 2)), score=jnp.ones(16),
+                         octave=jnp.zeros(16, jnp.int32), desc=jnp.asarray(d),
+                         mask=jnp.ones(16, bool), global_desc=jnp.zeros(8))
+        store.add_keyframe(np.eye(3), np.zeros(3), feats, 0.0)   # cand
+        store.add_keyframe(np.eye(3), np.asarray([1.0, 0, 0]), feats, 1.0)  # k
+        store.imu_initialized = True
+        store.viba2 = True
+        cam = make_cam()
+        return LoopCloser(cam, store, LoopCloserConfig()), store
+
+    def test_roll_correction_rejected(self):
+        lc, store = self._closer()
+        # loop Sim3 whose world correction rolls the horizon by 0.05 rad
+        R_bad = np.asarray(lie.so3_exp(jnp.asarray([0.05, 0, 0], jnp.float32)))
+        hit = lc._gravity_gate(1, 0, R_bad, np.zeros(3, np.float32), 1.0, None)
+        assert hit is None
+
+    def test_yaw_correction_forced_unit_scale(self):
+        lc, store = self._closer()
+        R_yaw = np.asarray(lie.so3_exp(jnp.asarray([0, 0, 0.2], jnp.float32)))
+        t = np.asarray([0.9, 0.1, 0.0], np.float32)
+        hit = lc._gravity_gate(1, 0, R_yaw, t, 1.05, None)
+        assert hit is not None
+        R_cm, t_cm, s_cm, _ = hit
+        assert s_cm == 1.0          # VIBA2: scale forced to unit
+        phi = np.asarray(lie.so3_log(jnp.asarray(
+            store.kf_R[1].T @ (R_cm @ store.kf_R[0]))))
+        assert abs(phi[0]) < 1e-6 and abs(phi[1]) < 1e-6  # pure yaw kept

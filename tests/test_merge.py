@@ -106,7 +106,10 @@ def test_merged_map_is_single_consistent_store(merge_run):
     sys_, *_ = merge_run
     store = sys_.store
     kfs = store.valid_kf_ids()
-    assert len(kfs) > 15
+    # reference-grade keyframe culling (90% same-or-finer-scale redundancy)
+    # now bounds the map — with flat-octave fake features it prunes hard,
+    # so the floor is lower than the pre-culling 15
+    assert len(kfs) >= 8
     # covisibility crosses the seam: the merged halves must be connected
     assert (store.covis[np.ix_(kfs, kfs)] > 0).any()
     # observation bookkeeping intact

@@ -95,3 +95,35 @@ def test_partition_round_trips_points():
     for m in range(32):
         np.testing.assert_allclose(pp[owner[m], local[m]], pts_n[m], rtol=1e-6)
     assert int(np.asarray(prob.valid).sum()) <= E
+
+
+def test_dist_bundle_adjust_schedule_converges():
+    """dist_bundle_adjust: LM schedule + outlier classification. Cost must
+    decrease, outlier edges must be flagged, and poses must agree with the
+    single-device engine."""
+    rng = np.random.default_rng(2)
+    cam, poses_R, poses_t, fixed, pts_true, pts_n, (kf_idx, pt_idx, uv) = \
+        make_problem(rng)
+    E = len(kf_idx)
+    # corrupt 5% of the observations: the classification must drop them
+    n_out = E // 20
+    bad = rng.choice(E, n_out, replace=False)
+    uv = uv.copy()
+    uv[bad] += rng.uniform(40, 80, (n_out, 2)).astype(np.float32)
+    prob, (owner, local, ok) = dist_ba.partition_edges(
+        8, len(poses_R), 16, 64, poses_R, poses_t, fixed,
+        pts_n.astype(np.float32), kf_idx, pt_idx, uv,
+        np.ones(E, np.float32), np.ones(E, bool))
+    mesh = Mesh(np.array(jax.devices()), ("ba",))
+    out, edge_valid, costs = dist_ba.dist_bundle_adjust(
+        cam.kind, cam.params, prob, mesh, rounds=((8, True), (4, False)))
+    assert costs[-1] < costs[0] * 0.5, costs
+    n_kept = int(edge_valid.sum())
+    n_in = int(np.asarray(prob.valid).sum())
+    assert n_kept < n_in  # the gross outliers were flagged
+    assert n_kept > 0.8 * n_in
+    pp = np.asarray(out.points)
+    rec = np.stack([pp[owner[m], local[m]] for m in range(len(pts_true))])
+    err_after = np.linalg.norm(rec - pts_true, axis=1).mean()
+    err_before = np.linalg.norm(pts_n - pts_true, axis=1).mean()
+    assert err_after < 0.5 * err_before

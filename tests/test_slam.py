@@ -211,3 +211,54 @@ def test_async_pipeline_matches_sync_quality():
     path = np.linalg.norm(np.diff(gtc, axis=0), axis=1).sum()
     assert err < 0.08 * path, f"async ATE {err:.3f} m over {path:.1f} m path"
     sys_.shutdown()
+
+
+def test_localization_only_mode():
+    """ActivateLocalizationMode: tracking continues against the frozen map
+    (no new keyframes / map points), and deactivation resumes SLAM."""
+    cam = make_cam()
+    world = SyntheticWorld.cloud(seed=9, n_landmarks=1400, extent=16.0,
+                                 center=(0, 0, 10.0), desc_dim=64)
+    ext = FakeExtractor(world, cam, pad_to=512, noise_px=0.3,
+                        desc_noise=0.03, max_landmarks_per_frame=480, seed=3)
+    sys_ = small_system(cam, ext, min_init_med_parallax_deg=4.0)
+    gt = browse_trajectory(70)
+    for i, (R, t) in enumerate(gt[:40]):
+        sys_.track_features(ext(R, t), 0.05 * i)
+    assert sys_.tracker.state == OK
+    sys_.activate_localization_mode()
+    n_kf = int(sys_.store.kf_valid.sum())
+    n_mp = int(sys_.store.mp_valid.sum())
+    tracked = 0
+    for i, (R, t) in enumerate(gt[40:]):
+        st, Re, te = sys_.track_features(ext(R, t), 0.05 * (40 + i))
+        tracked += Re is not None
+    assert tracked >= 25                      # still localizing
+    assert int(sys_.store.kf_valid.sum()) == n_kf  # map frozen
+    assert int(sys_.store.mp_valid.sum()) == n_mp
+    sys_.deactivate_localization_mode()
+    assert not sys_.tracker.localization_only
+
+
+def test_timestamp_jump_resets():
+    """Tracking.cc:1122-1160: a backward timestamp or a long gap must not
+    poison the motion model — the tracker goes LOST and the Atlas layer
+    recovers with a fresh map."""
+    cam = make_cam()
+    world = SyntheticWorld.cloud(seed=4, n_landmarks=1400, extent=16.0,
+                                 center=(0, 0, 10.0), desc_dim=64)
+    ext = FakeExtractor(world, cam, pad_to=512, noise_px=0.3,
+                        desc_noise=0.03, max_landmarks_per_frame=480, seed=5)
+    sys_ = small_system(cam, ext, min_init_med_parallax_deg=4.0)
+    gt = browse_trajectory(60)
+    for i, (R, t) in enumerate(gt[:30]):
+        sys_.track_features(ext(R, t), 0.05 * i)
+    assert sys_.tracker.state == OK
+    n_maps_before = sys_.atlas.n_maps()
+    # 100 s gap -> guard trips, map recovery kicks in
+    st, Re, te = sys_.track_features(ext(*gt[30]), 0.05 * 29 + 100.0)
+    assert Re is None
+    # subsequent frames initialize a fresh map and track again
+    for i, (R, t) in enumerate(gt[30:]):
+        sys_.track_features(ext(R, t), 102.0 + 0.05 * i)
+    assert sys_.tracker.state == OK
