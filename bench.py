@@ -73,19 +73,112 @@ def main():
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 3),
     }
+    line["extra"] = kernel_latencies(smoke)
     if "--e2e" in sys.argv or smoke:
         fps_slam, n_kf = slam_loop_fps(smoke)
         # pipeline model: extraction (device) + SLAM stack per frame.
         # The reference's ~50 FPS (README.md:15-17) is the same workload on
         # an RTX 2070 Max-Q with three CPU worker threads.
         total_ms = ms + 1000.0 / fps_slam
-        line["extra"] = {
+        line["extra"].update({
             "slam_stack_fps": round(fps_slam, 2),
             "slam_e2e_fps": round(1000.0 / total_ms, 2),
             "e2e_vs_50fps": round((1000.0 / total_ms) / 50.0, 3),
             "keyframes": n_kf,
-        }
+        })
     print(json.dumps(line))
+
+
+def _time_dispatch(fn, out_leaf, reps=3, n=20):
+    """Best per-call time of n back-to-back dispatches with one sync
+    (tunnel-robust, same pattern as the extraction loop above)."""
+    for _ in range(2):
+        jax.block_until_ready(out_leaf(fn()))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn()
+        jax.block_until_ready(out_leaf(out))
+        best = min(best, (time.perf_counter() - t0) * 1e3 / n)
+    return best
+
+
+def kernel_latencies(smoke: bool) -> dict:
+    """Hot-kernel latencies at reference workload sizes (the pieces the
+    reference times separately: BFMatcher-L2 pair matching ~5.46 ms,
+    PoseOptimization, local BA, KeyFrameDatabase full-DB scan ~245 ms —
+    Comparison/README.md:42-66, test_match_global_feats.cc:3-9)."""
+    from hfnet_slam_tpu import lie
+    from hfnet_slam_tpu.geometry import cameras
+    from hfnet_slam_tpu.ops import matching
+    from hfnet_slam_tpu.optim import ba, pose_opt
+
+    rng = np.random.default_rng(0)
+    N, D = (256, 64) if smoke else (1024, 256)
+    dA = rng.standard_normal((N, D)).astype(np.float32)
+    dA /= np.linalg.norm(dA, axis=1, keepdims=True)
+    dB = rng.standard_normal((N, D)).astype(np.float32)
+    dB /= np.linalg.norm(dB, axis=1, keepdims=True)
+    mask = jnp.ones(N, bool)
+    dA, dB = jnp.asarray(dA), jnp.asarray(dB)
+
+    match = jax.jit(lambda: matching.match_descriptors(dA, mask, dB, mask))
+    out = {"match_pair_ms": round(_time_dispatch(match, lambda o: o[0]), 3)}
+
+    if not smoke and jax.default_backend() == "tpu":
+        from hfnet_slam_tpu.ops import pallas_match
+
+        fused = jax.jit(
+            lambda: pallas_match.match_descriptors_fused(dA, mask, dB, mask))
+        out["match_pair_fused_ms"] = round(
+            _time_dispatch(fused, lambda o: o[0]), 3)
+
+    # pose-only optimization at tracking size (PoseOptimization analogue)
+    cam = cameras.pinhole(450.0, 450.0, 320.0, 240.0, 640, 480)
+    pts = np.stack([rng.uniform(-4, 4, N), rng.uniform(-3, 3, N),
+                    rng.uniform(5, 15, N)], 1).astype(np.float32)
+    R0 = np.asarray(lie.so3_exp(jnp.asarray([0.02, -0.01, 0.03])), np.float32)
+    t0 = np.array([0.05, -0.02, 0.01], np.float32)
+    uv = np.asarray(cam.project(jnp.asarray(pts))) + rng.normal(0, 0.5, (N, 2))
+    args = (jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(pts),
+            jnp.asarray(uv.astype(np.float32)), jnp.ones(N), mask)
+    popt = lambda: pose_opt.pose_optimize(cam.kind, cam.params, *args)
+    out["pose_opt_ms"] = round(_time_dispatch(popt, lambda o: o["t"]), 3)
+
+    # local-BA LM schedule at mapper window size (LocalBundleAdjustment)
+    K, M, E = (4, 128, 512) if smoke else (16, 2048, 8192)
+    mp = np.stack([rng.uniform(-6, 6, M), rng.uniform(-4, 4, M),
+                   rng.uniform(5, 18, M)], 1).astype(np.float32)
+    kf_i = rng.integers(0, K, E).astype(np.int32)
+    pt_i = rng.integers(0, M, E).astype(np.int32)
+    poses_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+    poses_t = np.stack([np.array([0.2 * k, 0, 0], np.float32) for k in range(K)])
+    pc = np.einsum("eij,ej->ei", poses_R[kf_i], mp[pt_i]) + poses_t[kf_i]
+    uv_e = np.asarray(cam.project(jnp.asarray(pc))).astype(np.float32)
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+    prob = ba.with_depth_defaults(ba.BAProblem(
+        poses_R=jnp.asarray(poses_R),
+        poses_t=jnp.asarray(poses_t + rng.normal(0, 0.01, poses_t.shape).astype(np.float32)),
+        fixed=jnp.asarray(fixed), points=jnp.asarray(mp),
+        kf_idx=jnp.asarray(kf_i), pt_idx=jnp.asarray(pt_i),
+        uv=jnp.asarray(uv_e), inv_sigma2=jnp.ones(E),
+        valid=jnp.ones(E, bool), z_meas=jnp.zeros(E), wz=jnp.zeros(E)))
+    lba = lambda: ba.ba_iterate(cam.kind, cam.params, prob, 4, True, 5.991)
+    out["local_ba_4it_ms"] = round(
+        _time_dispatch(lba, lambda o: o[0].poses_t, n=5), 3)
+
+    # full-DB retrieval scan (KeyFrameDatabase::DetectNBestCandidates)
+    Kdb, G = (64, 64) if smoke else (256, 4096)
+    g = rng.standard_normal((Kdb, G)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    gj, vm = jnp.asarray(g), jnp.ones(Kdb, bool)
+    q = gj[:1]
+    scan = jax.jit(lambda: matching.global_scores_batch(q, gj, vm))
+    out["retrieval_scan_ms"] = round(_time_dispatch(scan, lambda o: o), 3)
+    return out
 
 
 def slam_loop_fps(smoke: bool):

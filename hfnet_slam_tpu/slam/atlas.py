@@ -60,17 +60,27 @@ class Atlas:
     # ------------------------------------------------------------------
     def save(self, path):
         os.makedirs(path, exist_ok=True)
-        manifest = {"n_maps": len(self.maps), "active": self.active_idx,
-                    "caps": list(self._caps), "version": 1}
-        with open(os.path.join(path, "atlas.json"), "w") as f:
-            json.dump(manifest, f)
         for i, m in enumerate(self.maps):
             m.save(os.path.join(path, f"map_{i}.npz"))
+        # integrity digest per map file (System::CalculateCheckSum,
+        # reference src/System.cc SaveAtlas writes an MD5 beside the archive)
+        sums = {f"map_{i}.npz": _md5(os.path.join(path, f"map_{i}.npz"))
+                for i in range(len(self.maps))}
+        manifest = {"n_maps": len(self.maps), "active": self.active_idx,
+                    "caps": list(self._caps), "version": 1, "md5": sums}
+        with open(os.path.join(path, "atlas.json"), "w") as f:
+            json.dump(manifest, f)
 
     @staticmethod
-    def load(path) -> "Atlas":
+    def load(path, verify: bool = True) -> "Atlas":
         with open(os.path.join(path, "atlas.json")) as f:
             manifest = json.load(f)
+        if verify and "md5" in manifest:
+            for name, want in manifest["md5"].items():
+                got = _md5(os.path.join(path, name))
+                if got != want:
+                    raise IOError(
+                        f"atlas snapshot corrupted: {name} md5 {got} != {want}")
         atlas = Atlas(*manifest["caps"])
         atlas.maps = [
             MapStore.load(os.path.join(path, f"map_{i}.npz"))
@@ -78,3 +88,13 @@ class Atlas:
         ]
         atlas.active_idx = manifest["active"]
         return atlas
+
+
+def _md5(path: str) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()

@@ -788,6 +788,9 @@ class LocalMapper:
         store.mp_pos[mp_ids] = np.asarray(out.points)[: len(mp_ids)]
         self._detach_outliers(np.asarray(out.valid)[:n_e], kf_e, slot_e,
                               mp_ids)
+        # relinearize chain preintegrations whose bias moved too far
+        # (no-op within tolerance; Reintegrate, src/ImuTypes.cc:168)
+        vim.reintegrate_chain()
         store.bump_change()
         return {"kf_ids": kf_ids, "mp_ids": mp_ids}
 
@@ -823,9 +826,17 @@ class LocalMapper:
                 self.vim.kf_pre[s] = jax.tree.map(
                     lambda a: jnp.asarray(a),
                     IMU.compose(self.vim.kf_pre[j], self.vim.kf_pre[s]))
+                if s in self.vim.kf_meas and j in self.vim.kf_meas:
+                    # raw blocks concatenate in chain order (j precedes s)
+                    self.vim.kf_meas[s] = np.concatenate(
+                        [self.vim.kf_meas[j], self.vim.kf_meas[s]], axis=0)
+                else:
+                    self.vim.kf_meas.pop(s, None)
             else:
                 self.vim.kf_pre.pop(s, None)
+                self.vim.kf_meas.pop(s, None)
         self.vim.kf_pre.pop(j, None)
+        self.vim.kf_meas.pop(j, None)
 
     # ------------------------------------------------------------------
     # keyframe culling (LocalMapping::KeyFrameCulling, :1090)

@@ -92,6 +92,7 @@ class SLAMSystem:
         if self.loop_closer is not None:
             self.loop_closer.system = self  # enables cross-map merges
         self._traj_mark = 0
+        self.viewer = None  # optional utils.viewer.LiveViewer
         self.worker = None
         if c.async_mapping and self.vi is None:
             from .pipeline import MappingWorker
@@ -182,6 +183,10 @@ class SLAMSystem:
 
     def track_features(self, feats, timestamp: float, depth=None, imu=None):
         """Feed pre-extracted features (testing / offline pipelines)."""
+        if self.viewer is not None:
+            # live observability + step-by-step gate (utils.viewer.LiveViewer;
+            # the reference's Viewer thread + Tracking::SetStepByStep)
+            self.viewer.on_frame(self.store, self.tracker)
         if self.cam.dist is not None:
             # keypoint undistortion (Frame::UndistortKeyPoints,
             # src/Frame.cc): everything downstream works in the ideal
@@ -270,6 +275,8 @@ class SLAMSystem:
             # world transform)
             tr.vi.kf_pre = {kf_remap[a]: pre for a, pre in tr.vi.kf_pre.items()
                             if a in kf_remap}
+            tr.vi.kf_meas = {kf_remap[a]: m for a, m in tr.vi.kf_meas.items()
+                             if a in kf_remap}
             tr._imu_since_kf = []
         # re-anchor the trajectory segment recorded in the absorbed map:
         # absolute fallbacks move into the target world frame, and the

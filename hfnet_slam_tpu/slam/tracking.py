@@ -198,6 +198,7 @@ class Tracker:
         if self.vi is not None:
             self.vi.store = store
             self.vi.kf_pre.clear()
+            self.vi.kf_meas.clear()
             self.vi.first_kf_ts = None
             self.vi.stage = 0
 
@@ -404,7 +405,7 @@ class Tracker:
                     if self._imu_since_kf else np.zeros((0, 7), np.float32))
             pre = self.vi.integrate(meas)
             self.vi.first_kf_ts = float(ref.timestamp)
-            self.vi.on_keyframe(kf1, kf0, pre)
+            self.vi.on_keyframe(kf1, kf0, pre, meas=meas)
             self._imu_since_kf = []
             self._last_kf = kf1
         self.state = OK
@@ -871,8 +872,10 @@ class Tracker:
         if self.vi is not None:
             if self._last_kf >= 0:
                 # preintegrate with the previous KF's bias BEFORE switching
+                meas = (np.concatenate(self._imu_since_kf, axis=0)
+                        if self._imu_since_kf else np.zeros((0, 7), np.float32))
                 pre = self._pre_from_kf()
-                self.vi.on_keyframe(k, self._last_kf, pre)
+                self.vi.on_keyframe(k, self._last_kf, pre, meas=meas)
             if frame.v is not None:
                 store.kf_vel[k] = frame.v
             self._imu_since_kf = []

@@ -51,6 +51,13 @@ class VIConfig:
     # LocalMapping.cc:1615, fired ~every 10 s at :255-275)
     scale_refine_interval: float = 10.0
     scale_refine_tol: float = 0.002  # apply only if |s-1| exceeds this
+    # reintegrate a chain preintegration when the optimized bias moved this
+    # far from its linearization point (Preintegrated::Reintegrate,
+    # reference src/ImuTypes.cc:168, fired after InertialOptimization at
+    # src/Optimizer.cc:3217/3382; below these the first-order Jacobian
+    # correction in imu.delta_* is accurate)
+    reint_bg_tol: float = 1e-3
+    reint_ba_tol: float = 1e-2
 
 
 class VIManager:
@@ -63,6 +70,9 @@ class VIManager:
         self.cfg = cfg or VIConfig()
         # per-KF preintegration from its chain predecessor (mpImuPreintegrated)
         self.kf_pre: dict[int, IMU.Preintegrated] = {}
+        # raw (N,7) measurement blocks backing kf_pre (mvMeasurements) so a
+        # large bias update can re-run the integration scan exactly
+        self.kf_meas: dict[int, np.ndarray] = {}
         self.first_kf_ts: float = None
         self.stage = 0  # 0 = visual only, 1 = initialized, 2 = viba1, 3 = viba2
         self.mapper = None  # LocalMapper, set by System — runs FullInertialBA
@@ -110,12 +120,17 @@ class VIManager:
     # ------------------------------------------------------------------
     # keyframe chain
     # ------------------------------------------------------------------
-    def on_keyframe(self, k: int, prev_kf: int, pre: IMU.Preintegrated):
+    def on_keyframe(self, k: int, prev_kf: int, pre: IMU.Preintegrated,
+                    meas: np.ndarray = None):
         """Record the chain preintegration prev_kf -> k (InsertKeyFrame's
-        mpImuPreintegratedFromLastKF handoff)."""
+        mpImuPreintegratedFromLastKF handoff). `meas` is the raw block the
+        preintegration was built from; keeping it enables exact
+        reintegration after bias updates."""
         store = self.store
         store.kf_prev[k] = prev_kf
         self.kf_pre[k] = pre
+        if meas is not None:
+            self.kf_meas[k] = np.asarray(meas, np.float32)
         if self.first_kf_ts is None:
             self.first_kf_ts = float(store.kf_timestamp[k])
         if prev_kf >= 0 and store.imu_initialized:
@@ -241,10 +256,11 @@ class VIManager:
             store.kf_vel[k] = v[n]
             store.kf_bg[k] = np.asarray(res["bg"])
             store.kf_ba[k] = np.asarray(res["ba"])
-        # chain preintegrations stay linearized at bias 0; the bias-corrected
-        # getters (imu.delta_*) apply the first-order correction, matching
-        # the reference's Jacobian path (full Reintegrate() is only needed
-        # for large bias jumps and is a later milestone)
+        # relinearize chain preintegrations at the optimized bias when the
+        # jump exceeds the first-order-validity tolerance (the reference
+        # reintegrates every chain KF right after InertialOptimization,
+        # src/Optimizer.cc:3217/3382 -> ImuTypes.cc:168 Reintegrate)
+        self.reintegrate_chain()
         store.imu_initialized = True
         store.viba1 = stage >= 2
         store.viba2 = stage >= 3
@@ -256,6 +272,30 @@ class VIManager:
             self.mapper.full_inertial_ba(self, prior_g=prior_g,
                                          prior_a=prior_a)
         return True
+
+    def reintegrate_chain(self) -> int:
+        """Re-run the integration scan for every chain preintegration whose
+        linearization bias drifted beyond tolerance from its predecessor
+        KF's current bias estimate (Preintegrated::Reintegrate,
+        src/ImuTypes.cc:168). Exact — replaces the first-order Jacobian
+        correction with a fresh scan over the retained raw measurements.
+        Returns the number of preintegrations recomputed."""
+        store = self.store
+        cfg = self.cfg
+        n = 0
+        for k, pre in list(self.kf_pre.items()):
+            meas = self.kf_meas.get(k)
+            p = int(store.kf_prev[k])
+            if meas is None or p < 0 or not store.kf_valid[p]:
+                continue
+            bg, ba = store.kf_bg[p], store.kf_ba[p]
+            dbg = np.linalg.norm(np.asarray(pre.bg0) - bg)
+            dba = np.linalg.norm(np.asarray(pre.ba0) - ba)
+            if dbg <= cfg.reint_bg_tol and dba <= cfg.reint_ba_tol:
+                continue
+            self.kf_pre[k] = self.integrate(meas, bg, ba)
+            n += 1
+        return n
 
     def apply_scaled_rotation(self, Rgw: np.ndarray, s: float):
         """Rotate the world so gravity is -z and rescale to metric units

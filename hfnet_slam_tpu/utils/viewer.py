@@ -1,4 +1,4 @@
-"""Offline map/trajectory viewer.
+"""Offline map/trajectory viewer + live stepping hook.
 
 Replaces the reference's live Pangolin GUI (src/{Viewer,FrameDrawer,
 MapDrawer}.cc — keyframes, covisibility graph, landmarks, current camera)
@@ -6,8 +6,17 @@ with a headless snapshot renderer: `render(store, trajectory, path)`
 writes a PNG of the map state. Live 3-D GUIs don't belong in a TPU-pod
 deployment; snapshot rendering covers the observability role (SURVEY.md
 §5.5) and slots into notebooks and eval scripts.
+
+`LiveViewer` adds the reference viewer's two *control* roles without a
+GUI: periodic re-rendering while the system runs (Viewer::Run's refresh
+loop, src/Viewer.cc:162-196) and step-by-step execution
+(Tracking::SetStepByStep / the "Step" menu button, src/Viewer.cc:188-189)
+— the tracker blocks at each frame until `step()` is called, so a driver
+(REPL, debugger, test) can single-step the pipeline.
 """
 from __future__ import annotations
+
+import threading
 
 import numpy as np
 
@@ -67,3 +76,63 @@ def render(store, trajectory=None, path=None, show_covis=True,
 
         _plt.close(fig)
     return fig
+
+
+class LiveViewer:
+    """Frame/keyframe hooks for a running SLAMSystem (set
+    `system.viewer = LiveViewer(...)`).
+
+    - re-renders the map snapshot every `every_kf` new keyframes (the
+      Pangolin refresh loop's role, headless);
+    - `set_step_by_step(True)` makes `on_frame` block until `step()`
+      (or `release()`), mirroring Tracking::mbStep gating.
+    """
+
+    def __init__(self, out_path="slam_view.png", every_kf: int = 10,
+                 render_kwargs=None):
+        self.out_path = out_path
+        self.every_kf = max(1, int(every_kf))
+        self.render_kwargs = render_kwargs or {}
+        self.frames = 0
+        self.renders = 0
+        self._last_kf_count = 0
+        self._step_mode = False
+        self._steps = 0
+        self._released = False
+        self._cv = threading.Condition()
+
+    # -- stepping (Tracking::SetStepByStep analogue) --------------------
+    def set_step_by_step(self, flag: bool):
+        with self._cv:
+            self._step_mode = bool(flag)
+            self._cv.notify_all()
+
+    def step(self, n: int = 1):
+        """Allow n more frames through."""
+        with self._cv:
+            self._steps += n
+            self._cv.notify_all()
+
+    def release(self):
+        """Permanently unblock (viewer shutdown)."""
+        with self._cv:
+            self._released = True
+            self._cv.notify_all()
+
+    # -- hooks called by the system --------------------------------------
+    def on_frame(self, store, tracker):
+        self.frames += 1
+        with self._cv:
+            while self._step_mode and self._steps <= 0 and not self._released:
+                self._cv.wait(timeout=0.1)
+            if self._steps > 0:
+                self._steps -= 1
+        n_kf = int(store.kf_valid.sum())
+        if n_kf - self._last_kf_count >= self.every_kf:
+            self._last_kf_count = n_kf
+            try:
+                render(store, getattr(tracker, "trajectory", None),
+                       self.out_path, **self.render_kwargs)
+                self.renders += 1
+            except Exception:
+                pass  # rendering must never take down tracking

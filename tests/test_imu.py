@@ -180,3 +180,44 @@ class TestPoseInertial:
         assert int(res["n_inliers"]) > 240
         assert np.linalg.norm(np.asarray(res["p"]) - p2t) < 5e-3
         assert np.linalg.norm(np.asarray(res["v"]) - v2t) < 5e-2
+
+
+class TestReintegration:
+    def test_chain_reintegrate_on_large_bias(self):
+        """VIManager.reintegrate_chain relinearizes at the new bias exactly
+        (Preintegrated::Reintegrate, reference src/ImuTypes.cc:168, fired
+        after InertialOptimization at src/Optimizer.cc:3217)."""
+        from hfnet_slam_tpu.slam.map import MapStore
+        from hfnet_slam_tpu.slam.vi import VIManager, VIConfig
+
+        store = MapStore(k_max=4, m_max=16, n_slots=8, desc_dim=8, gdesc_dim=8)
+        store.kf_valid[:2] = True
+        store.kf_timestamp[:2] = [0.0, 0.5]
+        calib = imu.default_calib()
+        vim = VIManager(calib, store, VIConfig(meas_cap=64))
+
+        bg_true = np.array([0.02, -0.015, 0.01], np.float32)
+        meas, _, _, _ = simulate(
+            40, 0.0125,
+            lambda t: np.array([0.3, -0.2, 0.5]),
+            lambda t: np.array([1.0, 0.5, -0.3]),
+            bg=bg_true,
+        )
+        pre0 = vim.integrate(meas)  # linearized at bias 0
+        vim.on_keyframe(1, 0, pre0, meas=meas)
+
+        # within tolerance: no-op
+        assert vim.reintegrate_chain() == 0
+
+        # optimizer lands on the true gyro bias -> exceeds reint_bg_tol
+        store.kf_bg[0] = bg_true
+        assert vim.reintegrate_chain() == 1
+        pre1 = vim.kf_pre[1]
+        assert np.allclose(np.asarray(pre1.bg0), bg_true, atol=1e-6)
+        # exact reintegration matches a direct integrate at the new bias
+        direct = vim.integrate(meas, bg=bg_true)
+        np.testing.assert_allclose(np.asarray(pre1.dR), np.asarray(direct.dR),
+                                   atol=1e-6)
+        # and agrees with the first-order Jacobian correction to 1st order
+        corr = imu.delta_rotation(pre0, jnp.asarray(bg_true))
+        assert np.linalg.norm(np.asarray(pre1.dR) - np.asarray(corr)) < 5e-3

@@ -127,3 +127,44 @@ def test_dist_bundle_adjust_schedule_converges():
     err_after = np.linalg.norm(rec - pts_true, axis=1).mean()
     err_before = np.linalg.norm(pts_n - pts_true, axis=1).mean()
     assert err_after < 0.5 * err_before
+
+
+class TestMultihost:
+    """Multi-host runtime helpers (parallel/multihost.py). Single-process
+    here — the degenerate case every helper must support — with the
+    mesh/axis layout identical to the multi-process one."""
+
+    def test_initialize_is_noop_single_process(self):
+        from hfnet_slam_tpu.parallel import multihost
+        assert multihost.initialize() is False
+
+    def test_meshes(self):
+        from hfnet_slam_tpu.parallel import multihost
+        mesh = multihost.make_mesh()
+        assert mesh.axis_names == ("kf",)
+        assert mesh.devices.size == len(jax.devices())
+        hm = multihost.make_hybrid_mesh()
+        assert hm.axis_names == ("host", "kf")
+        assert hm.devices.shape == (1, len(jax.devices()))
+
+    def test_process_shard_covers_axis(self):
+        from hfnet_slam_tpu.parallel import multihost
+        lo, hi = multihost.process_shard(256)
+        assert (lo, hi) == (0, 256)
+        # simulated 3-process split covers [0, n) without overlap
+        spans = [multihost.process_shard(100, i, 3) for i in range(3)]
+        assert spans[0][0] == 0 and spans[-1][1] == 100
+        for (a, b), (c, d) in zip(spans, spans[1:]):
+            assert b == c
+
+    def test_global_array_and_sharded_retrieval(self):
+        from hfnet_slam_tpu.parallel import multihost, retrieval
+        mesh = multihost.make_mesh()
+        rng = np.random.default_rng(0)
+        rows = rng.normal(size=(64, 16)).astype(np.float32)
+        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+        g = multihost.global_array(rows, mesh)
+        np.testing.assert_allclose(np.asarray(g), rows, rtol=1e-6)
+        db, vm = retrieval.make_sharded_db(mesh, rows, np.ones(64, bool))
+        idx, vals = retrieval.top_candidates(mesh, rows[:2], db, vm, n=3)
+        assert int(idx[0, 0]) == 0 and int(idx[1, 0]) == 1

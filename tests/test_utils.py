@@ -200,3 +200,100 @@ class TestViewer:
         p = tmp_path / "map.png"
         viewer.render(store, traj, p)
         assert p.exists() and p.stat().st_size > 10_000
+
+    def test_live_viewer_stepping_and_render(self, tmp_path):
+        """LiveViewer: step-by-step gating (Tracking::SetStepByStep,
+        reference src/Viewer.cc:188-189) + periodic keyframe-triggered
+        re-render."""
+        import threading
+        import time as _time
+
+        from hfnet_slam_tpu.slam.map import MapStore
+        from hfnet_slam_tpu.utils.viewer import LiveViewer
+
+        store = MapStore(k_max=8, m_max=64, n_slots=16, desc_dim=8, gdesc_dim=8)
+        lv = LiveViewer(out_path=str(tmp_path / "live.png"), every_kf=2)
+
+        lv.set_step_by_step(True)
+        passed = []
+
+        def run():
+            for _ in range(3):
+                lv.on_frame(store, None)
+                passed.append(1)
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        _time.sleep(0.2)
+        assert passed == []  # blocked at the first frame
+        lv.step(2)
+        for _ in range(50):
+            if len(passed) == 2:
+                break
+            _time.sleep(0.05)
+        assert len(passed) == 2  # exactly two frames released
+        lv.release()
+        th.join(timeout=5)
+        assert len(passed) == 3
+
+        # keyframe-triggered re-render
+        lv2 = LiveViewer(out_path=str(tmp_path / "live2.png"), every_kf=2)
+        lv2.on_frame(store, None)
+        assert lv2.renders == 0
+        store.kf_valid[:2] = True
+        lv2.on_frame(store, None)
+        assert lv2.renders == 1
+        assert (tmp_path / "live2.png").exists()
+
+
+class TestLogAndChecksum:
+    def test_leveled_logger(self, capsys):
+        """Verbose::PrintMess semantics (reference include/System.h:48-73)."""
+        import logging
+
+        from hfnet_slam_tpu.utils import log
+
+        records = []
+
+        class Cap(logging.Handler):
+            def emit(self, r):
+                records.append(r.getMessage())
+
+        h = Cap()
+        log.logger.addHandler(h)
+        try:
+            log.set_level("quiet")
+            log.print_mess("hidden", log.NORMAL)
+            assert records == []
+            log.set_level("normal")
+            log.print_mess("shown", log.NORMAL)
+            log.print_mess("hidden2", log.VERBOSE)
+            assert records == ["shown"]
+            log.set_level(log.DEBUG)
+            log.print_mess("deep", log.DEBUG)
+            assert records == ["shown", "deep"]
+        finally:
+            log.logger.removeHandler(h)
+            log.set_level("quiet")
+
+    def test_atlas_checksum_guard(self, tmp_path):
+        """Atlas snapshots carry per-file MD5s; corruption is detected at
+        load (System::CalculateCheckSum analogue, src/System.cc)."""
+        from hfnet_slam_tpu.slam.atlas import Atlas
+
+        a = Atlas(4, 16, 8, 8, 8)
+        a.active.kf_valid[0] = True
+        a.active.n_kf = 1
+        p = tmp_path / "snap"
+        a.save(str(p))
+        b = Atlas.load(str(p))
+        assert b.active.kf_valid[0]
+        # flip a byte -> load must refuse
+        f = p / "map_0.npz"
+        raw = bytearray(f.read_bytes())
+        raw[len(raw) // 2] ^= 0xFF
+        f.write_bytes(bytes(raw))
+        import pytest as _pytest
+
+        with _pytest.raises(IOError):
+            Atlas.load(str(p))
