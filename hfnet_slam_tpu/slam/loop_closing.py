@@ -58,7 +58,12 @@ class LoopCloserConfig:
     covis_edge_min_weight: int = 100  # essential-graph covis edges
     pg_iters: int = 15
     run_gba: bool = True
-    gba_rounds: tuple = ((10, True),)
+    # robust solve + non-robust polish on the chi2-classified inliers
+    # (the engine's LBA pattern, optim/ba.bundle_adjust). A robust-only
+    # schedule leaves the post-loop map measurably under-converged: on the
+    # tests' circular-revisit sequence the keyframe-map ATE stays ~25%
+    # above what the recovered trajectory needs to beat the live one.
+    gba_rounds: tuple = ((10, True), (8, False))
     gba_kf_cap: int = 64
     gba_mp_cap: int = 8192
     gba_edge_cap: int = 32768
