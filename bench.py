@@ -74,18 +74,21 @@ def main():
         "vs_baseline": round(BASELINE_MS / ms, 3),
     }
     line["extra"] = kernel_latencies(smoke)
-    if "--e2e" in sys.argv or smoke:
-        fps_slam, n_kf = slam_loop_fps(smoke)
-        # pipeline model: extraction (device) + SLAM stack per frame.
-        # The reference's ~50 FPS (README.md:15-17) is the same workload on
-        # an RTX 2070 Max-Q with three CPU worker threads.
-        total_ms = ms + 1000.0 / fps_slam
-        line["extra"].update({
-            "slam_stack_fps": round(fps_slam, 2),
-            "slam_e2e_fps": round(1000.0 / total_ms, 2),
-            "e2e_vs_50fps": round((1000.0 / total_ms) / 50.0, 3),
-            "keyframes": n_kf,
-        })
+    if "--no-e2e" not in sys.argv:
+        try:
+            fps_slam, n_kf = slam_loop_fps(smoke)
+            # pipeline model: extraction (device) + SLAM stack per frame.
+            # The reference's ~50 FPS (README.md:15-17) is the same workload
+            # on an RTX 2070 Max-Q with three CPU worker threads.
+            total_ms = ms + 1000.0 / fps_slam
+            line["extra"].update({
+                "slam_stack_fps": round(fps_slam, 2),
+                "slam_e2e_fps": round(1000.0 / total_ms, 2),
+                "e2e_vs_50fps": round((1000.0 / total_ms) / 50.0, 3),
+                "keyframes": n_kf,
+            })
+        except Exception as e:  # never lose the headline metric
+            line["extra"]["slam_e2e_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(line))
 
 
@@ -186,7 +189,24 @@ def slam_loop_fps(smoke: bool):
     + loop closing, slam/pipeline.py) on a synthetic browse sequence with
     the deterministic fake extractor. Measures everything except CNN
     extraction, which is timed separately above (the two compose into the
-    end-to-end pipeline estimate)."""
+    end-to-end pipeline estimate).
+
+    The stack runs on the HOST CPU backend, matching the reference's
+    deployment shape (its tracking/mapping/loop threads are CPU C++;
+    only the CNN is on the accelerator). Under the axon tunnel every
+    blocked device sync costs ~25 ms that a co-located TPU host never
+    pays, so timing the many small per-frame kernels through the tunnel
+    would measure the tunnel, not the framework."""
+    import contextlib
+
+    ctx = contextlib.nullcontext()
+    if jax.default_backend() != "cpu":
+        ctx = jax.default_device(jax.devices("cpu")[0])
+    with ctx:
+        return _slam_loop_fps_body(smoke)
+
+
+def _slam_loop_fps_body(smoke: bool):
     from hfnet_slam_tpu.geometry import cameras
     from hfnet_slam_tpu.models.fake import FakeExtractor, SyntheticWorld
     from hfnet_slam_tpu.slam.local_mapping import MapperConfig

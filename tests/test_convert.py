@@ -9,9 +9,10 @@ batch-norm folding against an explicit conv->BN computation.
 import numpy as np
 import pytest
 
+import pathlib
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 from tools import convert_hfnet_weights as cvt  # noqa: E402
 from hfnet_slam_tpu.models import hfnet  # noqa: E402
 
