@@ -221,7 +221,7 @@ def _slam_loop_fps_body(smoke: bool):
     cfg = SystemConfig(
         k_max=128, m_max=8192, n_slots=512, desc_dim=64, gdesc_dim=64,
         async_mapping=True,
-        tracker=TrackerConfig(local_mp_cap=2048, min_init_med_parallax_deg=4.0),
+        tracker=TrackerConfig(local_mp_cap=1024, min_init_med_parallax_deg=4.0),
         mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=2048, ba_edge_cap=8192,
                             tri_neighbors=5),
     )

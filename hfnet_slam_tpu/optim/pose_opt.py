@@ -21,7 +21,11 @@ from .. import lie
 from . import factors
 
 N_ROUNDS = 4
-N_ITERS = 10
+# LM iterations per round. The reference runs 4x10 (Optimizer.cc:1009);
+# with the accept-test LM here each round converges in <5 steps from the
+# motion-model / previous-stage init, and the per-round chi2
+# re-classification (the part that matters for robustness) is unchanged.
+N_ITERS = 5
 
 
 @partial(jax.jit, static_argnames=("cam_kind",))
@@ -52,6 +56,26 @@ def pose_optimize(
         reference's deltaStereo branch, Optimizer.cc:871-872).
     Returns dict(R, t, inlier (N,), n_inliers).
     """
+    return pose_optimize_core(cam_kind, cam_params, R0, t0, points_w, uv,
+                              inv_sigma2, valid, chi2_th, z_meas, wz)
+
+
+def pose_optimize_core(
+    cam_kind,
+    cam_params,
+    R0,
+    t0,
+    points_w,
+    uv,
+    inv_sigma2,
+    valid,
+    chi2_th=factors.CHI2_MONO,
+    z_meas=None,
+    wz=None,
+):
+    """Traceable body of pose_optimize: called directly by the fused
+    per-frame tracking program (slam/fused.py) so the whole front-end stays
+    one XLA computation."""
     if z_meas is None:
         z_meas = jnp.zeros(points_w.shape[0])
     if wz is None:

@@ -1,0 +1,402 @@
+"""Fused per-frame tracking: the whole visual front-end as ONE XLA program.
+
+The reference tracks a frame through many separate stages — projection
+search, pose optimization, local-map search, second pose optimization
+(Tracking::TrackWithMotionModel + TrackLocalMap,
+/root/reference/src/Tracking.cc:2165-2388) — each a C++ loop over heap
+objects. Round 2 of this rebuild ran those as 6-10 separate jitted kernels
+with numpy re-padding of map tables between them; the host round-trips
+dominated the frame time (~180 ms/frame of dispatch + transfers).
+
+This module is the TPU-native fix:
+
+  * `DeviceMap` keeps the matching-relevant map-point tables
+    (position / descriptor / viewing stats / validity) RESIDENT on device,
+    updated incrementally from the MapStore's dirty-row marks
+    (map.MapStore.consume_dirty_points) — no per-frame re-upload.
+  * `track_step` compiles predict -> motion-model projection search
+    (with the x2-window retry as a lax.cond) -> pose optimization ->
+    local-map projection search (view-cos / scale-band gates) -> second
+    pose optimization into ONE fixed-shape jitted program. The host passes
+    two small int32 index vectors (the motion / local candidate sets) and
+    receives the pose, the per-slot observation vector, and a 3-scalar
+    stats vector — a single dispatch and O(kB) of transfers per frame.
+
+All shapes are static: candidate sets are -1-padded to fixed capacities,
+so steady-state tracking never recompiles (asserted by
+tests/test_fused.py::test_no_steady_state_recompiles).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import cameras
+from ..optim import factors
+from ..optim.pose_opt import pose_optimize_core
+
+_NEG = -1e9
+
+
+class FusedConfig(NamedTuple):
+    """Static (hashable) knobs of the fused tracker — one compile per value
+    set. Mirrors tracking.TrackerConfig's matching fields."""
+
+    motion_window: float = 15.0
+    motion_window_retry: float = 30.0
+    local_window: float = 4.0
+    th_high: float = 0.75
+    min_motion_matches: int = 20
+
+
+# ---------------------------------------------------------------------------
+# device-resident map mirror
+# ---------------------------------------------------------------------------
+
+class DeviceMap:
+    """Device mirror of the MapStore's matching-relevant point tables.
+
+    sync() applies the store's dirty-row marks: row-level `.at[ids].set`
+    scatters for incremental changes (point insertion, descriptor refresh,
+    local-BA write-back), a full re-upload for whole-map moves (loop
+    correction, gravity alignment, GBA propagation). Scatter index vectors
+    are padded to power-of-two lengths so the compile count stays bounded.
+    """
+
+    def __init__(self, store):
+        self.store = store
+        self._upload_all()
+
+    def _upload_all(self):
+        s = self.store
+        self.pos = jnp.asarray(s.mp_pos)
+        self.desc = jnp.asarray(s.mp_desc)
+        self.normal = jnp.asarray(s.mp_normal)
+        self.dmin = jnp.asarray(s.mp_dmin)
+        self.dmax = jnp.asarray(s.mp_dmax)
+        self.valid = jnp.asarray(s.mp_valid)
+
+    def sync(self):
+        """Bring the mirror up to date. Call under the map lock."""
+        d = self.store.consume_dirty_points()
+        if d is None:
+            return
+        if isinstance(d, str):  # 'all'
+            self._upload_all()
+            return
+        s = self.store
+        n = len(d)
+        P = 1 << max(6, int(n - 1).bit_length())
+        M = s.m_max
+        ids = np.full(P, M, np.int32)  # pad rows scatter out of bounds
+        ids[:n] = d
+        idx = jnp.asarray(ids)
+
+        def pad_rows(np_arr):
+            shape = (P,) + np_arr.shape[1:]
+            out = np.zeros(shape, np_arr.dtype)
+            out[:n] = np_arr[d]
+            return jnp.asarray(out)
+
+        self.pos = self.pos.at[idx].set(pad_rows(s.mp_pos), mode="drop")
+        self.desc = self.desc.at[idx].set(pad_rows(s.mp_desc), mode="drop")
+        self.normal = self.normal.at[idx].set(pad_rows(s.mp_normal), mode="drop")
+        self.dmin = self.dmin.at[idx].set(pad_rows(s.mp_dmin), mode="drop")
+        self.dmax = self.dmax.at[idx].set(pad_rows(s.mp_dmax), mode="drop")
+        self.valid = self.valid.at[idx].set(pad_rows(s.mp_valid), mode="drop")
+
+
+def get_device_map(store) -> DeviceMap:
+    """Cached DeviceMap attached to a MapStore (shared by the tracker and
+    the mapping worker; both sync under the map lock)."""
+    dm = getattr(store, "_device_map", None)
+    if dm is None:
+        dm = DeviceMap(store)
+        store._device_map = dm
+    return dm
+
+
+# ---------------------------------------------------------------------------
+# traced building blocks
+# ---------------------------------------------------------------------------
+
+def _gather_candidates(ids, m_valid):
+    """-1-padded id vector -> (safe row indices, validity)."""
+    safe = jnp.clip(ids, 0, m_valid.shape[0] - 1)
+    ok = (ids >= 0) & m_valid[safe]
+    return safe, ok
+
+
+def _match_projected(cam_kind, cam_params, W, H, R, t, pos, dsc, ok,
+                     xy, desc, radii, feat_mask, th_max,
+                     normal=None, dmin=None, dmax=None):
+    """Guided projection matching (Matcher::SearchByProjection semantics,
+    /root/reference/src/Matcher.cc:40-218), traced inline: project the
+    candidate points with (R, t), gate by frustum (+ optional viewing-stat
+    gates), window by per-keypoint radius, and mutual-argmax match on the
+    similarity matmul. Returns (idx into candidates or -1, candidate
+    frustum mask)."""
+    pc = pos @ R.T + t
+    depth_ok = pc[:, 2] > 0.1
+    uv = cameras.project(cam_kind, cam_params, pc)
+    in_img = (uv[:, 0] >= 0) & (uv[:, 0] < W) & (uv[:, 1] >= 0) & (uv[:, 1] < H)
+    mp_ok = ok & depth_ok & in_img
+
+    d2 = jnp.sum((xy[:, None, :] - uv[None, :, :]) ** 2, axis=-1)
+    if normal is not None:
+        center = -R.T @ t
+        ray = pos - center[None, :]
+        dist = jnp.maximum(jnp.linalg.norm(ray, axis=1), 1e-9)
+        view_cos = jnp.sum(ray / dist[:, None] * normal, axis=1)
+        has_stats = dmax > 0
+        dist_ok = (dist >= 0.8 * dmin) & (dist <= 1.2 * dmax)
+        cos_ok = view_cos > 0.5
+        mp_ok = mp_ok & (~has_stats | (dist_ok & cos_ok))
+        tight = has_stats & (view_cos > 0.998)
+        radii_mp = jnp.where(tight, 2.5 / 4.0, 1.0)
+        allowed = d2 <= (radii[:, None] * radii_mp[None, :]) ** 2
+    else:
+        allowed = d2 < radii[:, None] ** 2
+
+    S = jnp.dot(desc, dsc.T, preferred_element_type=jnp.float32)
+    gate = feat_mask[:, None] & mp_ok[None, :] & allowed
+    S = jnp.where(gate, S, _NEG)
+    idxB = jnp.argmax(S, axis=1)
+    best = jnp.max(S, axis=1)
+    # distance gate: d < th  <=>  sim > 1 - th^2/2 (unit descriptors)
+    sim_gate = 1.0 - th_max * th_max / 2.0
+    hit = (best > sim_gate) & (best > _NEG / 2)
+    # mutual cross-check (BFMatcher crossCheck semantics)
+    idxA_of_B = jnp.argmax(S, axis=0)
+    hit &= idxA_of_B[idxB] == jnp.arange(desc.shape[0])
+    idx = jnp.where(hit & feat_mask, idxB, -1)
+    return idx.astype(jnp.int32), mp_ok
+
+
+@partial(jax.jit, static_argnames=("cam_kind", "cfg"))
+def track_step(cam_kind, cam_params, W, H, R0, t0,
+               m_pos, m_desc, m_normal, m_dmin, m_dmax, m_valid,
+               motion_ids, local_ids,
+               xy, desc, octave, mask, z_meas, wz,
+               cfg: FusedConfig):
+    """One tracked frame, end to end, on device.
+
+    Stages (Tracking.cc:2165-2388):
+      1. motion-model projection search vs the points seen in the previous
+         frame (window th=15, retried at 2x via lax.cond — :2231).
+      2. pose-only optimization over the matches (Optimizer.cc:814).
+      3. local-map projection search vs the covisibility-expanded candidate
+         set with viewing-cos / scale-band gates (:2673-2758).
+      4. final pose optimization over the merged observation set.
+
+    Returns dict with the final pose, the per-slot map-point observation
+    vector (int32, -1 = none), the stage-1 observation vector (for
+    visibility statistics), a candidate-visibility mask, and
+    stats = [n_motion_matches, n_inliers_stage2, n_inliers_final].
+    """
+    octave_f = octave.astype(jnp.float32)
+    radii_base = 1.2 ** octave_f
+    inv_sigma2 = 1.0 / (1.2 ** (2.0 * octave_f))
+
+    ms, mok = _gather_candidates(motion_ids, m_valid)
+    pos_m = m_pos[ms]
+    desc_m = m_desc[ms]
+
+    def run_motion(radius):
+        idx, _ = _match_projected(
+            cam_kind, cam_params, W, H, R0, t0, pos_m, desc_m, mok,
+            xy, desc, radius * radii_base, mask, cfg.th_high)
+        return idx
+
+    idx1 = run_motion(cfg.motion_window)
+    n1 = jnp.sum(idx1 >= 0)
+    idx1 = jax.lax.cond(
+        n1 < cfg.min_motion_matches,
+        lambda: run_motion(cfg.motion_window_retry),
+        lambda: idx1,
+    )
+    n1 = jnp.sum(idx1 >= 0)
+
+    obs1 = jnp.where(idx1 >= 0, motion_ids[jnp.clip(idx1, 0, motion_ids.shape[0] - 1)], -1)
+
+    # ---- stage 2: pose optimization over motion matches -----------------
+    pts1 = m_pos[jnp.clip(obs1, 0, m_pos.shape[0] - 1)]
+    valid1 = obs1 >= 0
+    res1 = pose_optimize_core(cam_kind, cam_params, R0, t0, pts1, xy,
+                              inv_sigma2, valid1, z_meas=z_meas, wz=wz)
+    R1, t1 = res1["R"], res1["t"]
+    obs1f = jnp.where(res1["inlier"], obs1, -1).astype(jnp.int32)
+
+    # ---- stage 3: local-map search with the refined pose -----------------
+    ls, lok = _gather_candidates(local_ids, m_valid)
+    # exclude points already matched this frame (the host-side isin of the
+    # unfused path) via a scatter membership table
+    Mcap = m_pos.shape[0]
+    tbl = jnp.zeros(Mcap + 1, bool).at[
+        jnp.where(obs1f >= 0, obs1f, Mcap)].set(True)
+    lok = lok & ~tbl[ls]
+    idx2, l_vis = _match_projected(
+        cam_kind, cam_params, W, H, R1, t1,
+        m_pos[ls], m_desc[ls], lok,
+        xy, desc, cfg.local_window * radii_base, mask, cfg.th_high,
+        normal=m_normal[ls], dmin=m_dmin[ls], dmax=m_dmax[ls])
+    new = (idx2 >= 0) & (obs1f < 0)
+    obs2 = jnp.where(new, local_ids[jnp.clip(idx2, 0, local_ids.shape[0] - 1)],
+                     obs1f)
+
+    # ---- stage 4: final pose optimization --------------------------------
+    pts2 = m_pos[jnp.clip(obs2, 0, Mcap - 1)]
+    valid2 = obs2 >= 0
+    res2 = pose_optimize_core(cam_kind, cam_params, R1, t1, pts2, xy,
+                              inv_sigma2, valid2, z_meas=z_meas, wz=wz)
+    obs_final = jnp.where(res2["inlier"], obs2, -1).astype(jnp.int32)
+
+    stats = jnp.stack([n1, res1["n_inliers"], res2["n_inliers"]]).astype(jnp.int32)
+    return {
+        "R": res2["R"], "t": res2["t"],
+        "obs": obs_final, "obs1": obs1f,
+        "vis_local": l_vis,
+        "stats": stats,
+    }
+
+
+# ---------------------------------------------------------------------------
+# batched mapping kernels (LocalMapping's per-keyframe hot blocks)
+# ---------------------------------------------------------------------------
+
+def _epipolar_match(xn1, desc1, sig2_1, mask1, xn2, desc2, sig2_2, mask2,
+                    R21, t21, f_px, max_dist, chi2_epi):
+    """Epipolar-gated mutual matching between two keyframes
+    (Matcher::SearchForTriangulation, src/Matcher.cc:763-936), traced
+    inline so it vmaps over neighbor keyframes."""
+    tx = jnp.array([
+        [0.0, -t21[2], t21[1]],
+        [t21[2], 0.0, -t21[0]],
+        [-t21[1], t21[0], 0.0],
+    ])
+    E = tx @ R21
+    h1 = jnp.concatenate([xn1, jnp.ones_like(xn1[:, :1])], axis=1)
+    h2 = jnp.concatenate([xn2, jnp.ones_like(xn2[:, :1])], axis=1)
+    l2 = h1 @ E.T
+    num = (l2 @ h2.T) ** 2
+    den = jnp.maximum(l2[:, 0:1] ** 2 + l2[:, 1:2] ** 2, 1e-12)
+    d2 = num / den
+    sigma_n2 = sig2_2[None, :] / (f_px * f_px)
+    epi_ok = d2 < chi2_epi * sigma_n2
+    epi = t21[:2] / jnp.where(jnp.abs(t21[2]) < 1e-9, 1e-9, t21[2])
+    d_ep2 = jnp.sum((xn2 - epi[None, :]) ** 2, axis=1) * (f_px * f_px)
+    far = d_ep2 > 100.0 * sig2_2
+    allowed = epi_ok & far[None, :]
+
+    S = jnp.dot(desc1, desc2.T, preferred_element_type=jnp.float32)
+    gate = mask1[:, None] & mask2[None, :] & allowed
+    S = jnp.where(gate, S, _NEG)
+    idxB = jnp.argmax(S, axis=1)
+    best = jnp.max(S, axis=1)
+    hit = best > 1.0 - max_dist * max_dist / 2.0
+    idxA_of_B = jnp.argmax(S, axis=0)
+    hit &= idxA_of_B[idxB] == jnp.arange(desc1.shape[0])
+    return jnp.where(hit & mask1, idxB, -1).astype(jnp.int32)
+
+
+def _triangulate_one(xn1, xn2, R21, t21):
+    """Batched DLT in cam-1 frame (geometry/triangulation.triangulate_dlt,
+    traced inline)."""
+    P1 = jnp.concatenate([jnp.eye(3, dtype=xn1.dtype),
+                          jnp.zeros((3, 1), xn1.dtype)], axis=1)
+    P2 = jnp.concatenate([R21, t21[:, None]], axis=1)
+
+    def rows(xn, P):
+        r0 = xn[..., 0:1] * P[2] - P[0]
+        r1 = xn[..., 1:2] * P[2] - P[1]
+        return r0, r1
+
+    a0, a1 = rows(xn1, P1)
+    a2, a3 = rows(xn2, P2)
+    A = jnp.stack([a0, a1, a2, a3], axis=-2)
+    AtA = jnp.swapaxes(A, -1, -2) @ A
+    _, v = jnp.linalg.eigh(AtA)
+    X = v[..., :, 0]
+    denom = jnp.where(jnp.abs(X[..., 3:]) < 1e-12,
+                      jnp.sign(X[..., 3:]) * 1e-12 + 1e-12, X[..., 3:])
+    return X[..., :3] / denom
+
+
+@partial(jax.jit, static_argnames=("min_parallax_cos", "chi2_epi", "max_dist"))
+def triangulate_pairs_batch(xn_k, desc_k, sig2_k, free_k,
+                            xn_j, desc_j, sig2_j, free_j,
+                            R21, t21, f_px,
+                            max_dist: float = 0.6,
+                            chi2_epi: float = 16.0,
+                            min_parallax_cos: float = 0.9998):
+    """CreateNewMapPoints' per-neighbor loop (LocalMapping.cc:513-894) as
+    ONE fixed-shape program over a padded neighbor batch: epipolar-gated
+    matching, DLT triangulation, and cheirality/reprojection/parallax
+    gating, vmapped over the neighbor axis.
+
+    Args:
+      xn_k/desc_k/sig2_k/free_k: anchor keyframe (N,2)/(N,D)/(N,)/(N,).
+      xn_j/...: (B,N,...) neighbor batch (padding rows: free_j all False).
+      R21/t21: (B,3,3)/(B,3) cam-k -> cam-j relative poses.
+    Returns:
+      idx: (B,N) match into the neighbor slots or -1.
+      good: (B,N) triangulation-quality mask.
+      p1: (B,N,3) triangulated points in the ANCHOR camera frame.
+    """
+    def per_pair(xn2, d2_, s2, m2, R, t):
+        idx = _epipolar_match(xn_k, desc_k, sig2_k, free_k,
+                              xn2, d2_, s2, m2, R, t, f_px,
+                              max_dist, chi2_epi)
+        safe = jnp.clip(idx, 0, xn2.shape[0] - 1)
+        xn2_m = xn2[safe]
+        p1 = _triangulate_one(xn_k, xn2_m, R, t)
+        th2 = factors.CHI2_MONO * jnp.maximum(sig2_k, s2[safe]) / (f_px * f_px)
+        p2 = p1 @ R.T + t
+        finite = jnp.all(jnp.isfinite(p1), axis=-1)
+        z_ok = (p1[:, 2] > 0) & (p2[:, 2] > 0)
+        O2 = -R.T @ t
+        ray1 = p1
+        ray2 = p1 - O2[None, :]
+        cosp = jnp.sum(ray1 * ray2, axis=-1) / jnp.maximum(
+            jnp.linalg.norm(ray1, axis=-1) * jnp.linalg.norm(ray2, axis=-1),
+            1e-12)
+        e1 = p1[:, :2] / jnp.maximum(p1[:, 2:3], 1e-12) - xn_k
+        e2 = p2[:, :2] / jnp.maximum(p2[:, 2:3], 1e-12) - xn2_m
+        r_ok = (jnp.sum(e1 * e1, -1) < th2) & (jnp.sum(e2 * e2, -1) < th2)
+        good = (idx >= 0) & finite & z_ok & r_ok & (cosp < min_parallax_cos)
+        return idx, good, p1
+
+    return jax.vmap(per_pair)(xn_j, desc_j, sig2_j, free_j, R21, t21)
+
+
+@partial(jax.jit, static_argnames=("cam_kind", "radius", "max_dist"))
+def fuse_pairs_batch(cam_kind, cam_params, W, H,
+                     R_t, t_t, xy_t, desc_t, oct_t, free_t,
+                     cand_ids, m_pos, m_desc, m_valid,
+                     radius: float = 3.0, max_dist: float = 0.6):
+    """SearchInNeighbors' two-way Fuse loop (LocalMapping.cc:895-1011,
+    Matcher::Fuse) as ONE program: for each (target KF, source point set)
+    pair, project the source points into the target and match them against
+    the target's unclaimed keypoint slots. Candidate points are gathered
+    from the device-resident map by id.
+
+    Args:
+      R_t/t_t: (P,3,3)/(P,3) target KF poses.
+      xy_t/desc_t/oct_t/free_t: (P,N,...) target keypoints (free = slot has
+        no map point yet).
+      cand_ids: (P,C) map-point ids of the source set (-1 padded).
+    Returns idx (P,N): match into cand slots or -1.
+    """
+    def per_pair(R, t, xy, dsc, oct_, free, ids):
+        safe, ok = _gather_candidates(ids, m_valid)
+        radii = radius * (1.2 ** oct_.astype(jnp.float32))
+        idx, _ = _match_projected(
+            cam_kind, cam_params, W, H, R, t,
+            m_pos[safe], m_desc[safe], ok, xy, dsc, radii, free, max_dist)
+        return idx
+
+    return jax.vmap(per_pair)(R_t, t_t, xy_t, desc_t, oct_t, free_t, cand_ids)

@@ -174,7 +174,28 @@ class LocalMapper:
     # ------------------------------------------------------------------
     # triangulation (LocalMapping::CreateNewMapPoints, :513)
     # ------------------------------------------------------------------
+    def _kf_xn(self, k):
+        """Cached normalized (unprojected) keypoint coordinates of KF k.
+        Keypoints are immutable per keyframe, so the cache is keyed on the
+        slot's uid (slot reuse after culling invalidates it)."""
+        store = self.store
+        if not hasattr(store, "_kf_xn"):
+            store._kf_xn = np.zeros((store.k_max, store.n_slots, 2), np.float32)
+            store._kf_xn_uid = np.full(store.k_max, -2, np.int64)
+        if store._kf_xn_uid[k] != store.kf_uid[k]:
+            store._kf_xn[k] = np.asarray(
+                self.cam.unproject(jnp.asarray(store.kf_xy[k])))[:, :2]
+            store._kf_xn_uid[k] = store.kf_uid[k]
+        return store._kf_xn[k]
+
     def create_new_points(self, k: int):
+        """One fixed-shape batched kernel (fused.triangulate_pairs_batch)
+        replaces the reference's per-neighbor matching + triangulation loop
+        (LocalMapping.cc:513-894): all neighbor keyframes are matched,
+        triangulated, and gated in a single device program; the host only
+        assigns the surviving observations."""
+        from . import fused
+
         store = self.store
         cfg = self.cfg
         neighbors = store.covisible_kfs(k, n=cfg.tri_neighbors, min_weight=cfg.tri_min_covis)
@@ -182,8 +203,7 @@ class LocalMapper:
             return
 
         Rk, tk = store.kf_R[k], store.kf_t[k]
-        xy_k = store.kf_xy[k]
-        xn_k = np.asarray(self.cam.unproject(jnp.asarray(xy_k)))[:, :2]
+        xn_k = self._kf_xn(k)
         sig2_k = (1.2 ** (2.0 * store.kf_octave[k])).astype(np.float32)
         free_k = store.kf_mask[k] & (store.kf_obs[k] < 0)
         f_px = float(self.cam.fx)
@@ -197,69 +217,59 @@ class LocalMapper:
         else:
             med_depth = 1.0
 
-        n_new = 0
+        # baseline gate (LocalMapping.cc:603), host
+        ck = -Rk.T @ tk
+        keep = []
         for j in neighbors:
-            Rj, tj = store.kf_R[j], store.kf_t[j]
-            # baseline between camera centers
-            ck = -Rk.T @ tk
-            cj = -Rj.T @ tj
-            baseline = float(np.linalg.norm(ck - cj))
-            if baseline < cfg.min_baseline_depth_ratio * med_depth:
-                continue  # too-short baseline (LocalMapping.cc:603)
+            cj = -store.kf_R[j].T @ store.kf_t[j]
+            if np.linalg.norm(ck - cj) >= cfg.min_baseline_depth_ratio * med_depth:
+                keep.append(int(j))
+        if not keep:
+            return
+        # fixed neighbor-batch shape: ONE compile for the whole run
+        B = 1 << int(np.ceil(np.log2(max(cfg.tri_neighbors, 1))))
+        N, D = store.n_slots, store.desc_dim
+        xn_j = np.zeros((B, N, 2), np.float32)
+        desc_j = np.zeros((B, N, D), np.float32)
+        sig2_j = np.ones((B, N), np.float32)
+        free_j = np.zeros((B, N), bool)
+        R21 = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+        t21 = np.zeros((B, 3), np.float32)
+        for bi, j in enumerate(keep):
+            xn_j[bi] = self._kf_xn(j)
+            desc_j[bi] = store.kf_desc[j]
+            sig2_j[bi] = (1.2 ** (2.0 * store.kf_octave[j])).astype(np.float32)
+            free_j[bi] = store.kf_mask[j] & (store.kf_obs[j] < 0)
+            R21[bi] = store.kf_R[j] @ Rk.T
+            t21[bi] = store.kf_t[j] - R21[bi] @ tk
 
-            # relative pose cam-k -> cam-j: x_j = R21 x_k + t21
-            R21 = Rj @ Rk.T
-            t21 = tj - R21 @ tk
+        idx, good, p1 = fused.triangulate_pairs_batch(
+            xn_k, store.kf_desc[k], sig2_k, free_k,
+            xn_j, desc_j, sig2_j, free_j, R21, t21, f_px,
+            max_dist=0.6, chi2_epi=float(cfg.chi2_epi),
+            min_parallax_cos=float(cfg.tri_min_parallax_cos))
+        idx = np.asarray(idx)
+        good = np.asarray(good)
+        p1 = np.asarray(p1)
 
-            free_j = store.kf_mask[j] & (store.kf_obs[j] < 0)
-            xn_j = np.asarray(self.cam.unproject(jnp.asarray(store.kf_xy[j])))[:, :2]
-            sig2_j = (1.2 ** (2.0 * store.kf_octave[j])).astype(np.float32)
-
-            idx, _ = search.search_for_triangulation(
-                jnp.asarray(xn_k), jnp.asarray(store.kf_desc[k]),
-                jnp.asarray(sig2_k), jnp.asarray(free_k),
-                jnp.asarray(xn_j), jnp.asarray(store.kf_desc[j]),
-                jnp.asarray(sig2_j), jnp.asarray(free_j),
-                jnp.asarray(R21), jnp.asarray(t21), f_px,
-                chi2_epi=cfg.chi2_epi,
-            )
-            idx = np.asarray(idx)
-            s_k = np.nonzero(idx >= 0)[0]
+        n_new = 0
+        claimed = ~free_k  # anchor slots already carrying a point
+        for bi, j in enumerate(keep):
+            s_k = np.nonzero(good[bi] & ~claimed)[0]
             if len(s_k) == 0:
                 continue
-            s_j = idx[s_k]
-
-            p1 = np.asarray(
-                triangulation.triangulate_dlt(
-                    jnp.asarray(xn_k[s_k]), jnp.asarray(xn_j[s_j]),
-                    jnp.asarray(R21), jnp.asarray(t21),
-                )
-            )
-            # reprojection gate in normalized units: chi2 * sigma2 / f^2
-            th2 = factors.CHI2_MONO * np.maximum(sig2_k[s_k], sig2_j[s_j]) / (f_px * f_px)
-            good, _ = triangulation.cheirality_and_error(
-                jnp.asarray(p1), jnp.asarray(xn_k[s_k]), jnp.asarray(xn_j[s_j]),
-                jnp.asarray(R21), jnp.asarray(t21), jnp.asarray(th2),
-                min_parallax_cos=cfg.tri_min_parallax_cos,
-            )
-            good = np.asarray(good)
-            if not good.any():
-                continue
-            s_k, s_j, p1 = s_k[good], s_j[good], p1[good]
-
-            # world positions and mean descriptors
-            p_w = (p1 - tk[None, :]) @ Rk  # Rk.T @ (p1 - tk), batched
+            s_j = idx[bi][s_k]
+            pw = (p1[bi][s_k] - tk[None, :]) @ Rk  # Rk.T @ (p1 - tk)
             d = store.kf_desc[k][s_k] + store.kf_desc[j][s_j]
             d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
-
             try:
-                ids = store.add_points(p_w, d, first_kf=k)
+                ids = store.add_points(pw, d, first_kf=k)
             except RuntimeError:
                 break  # capacity full; culling will free slots later
             store.assign_observations(k, s_k, ids)
             store.assign_observations(j, s_j, ids)
             self.recent_points.extend((int(i), self.kf_count) for i in ids)
-            free_k[s_k] = False
+            claimed[s_k] = True
             n_new += len(ids)
         if n_new:
             store.update_covisibility(k)
@@ -273,43 +283,65 @@ class LocalMapper:
         neighbors) and claim unmatched keypoints as extra observations.
         This is how fresh 2-observation points rapidly gain observations —
         without it their depths stay poorly constrained and local BA slides
-        them along their rays."""
+        them along their rays.
+
+        All 2xneighbor Fuse passes run as ONE batched device program
+        (fused.fuse_pairs_batch) against the device-resident map; the host
+        applies the matches with the duplicate checks."""
+        from . import fused
+
         store = self.store
         cfg = self.cfg
         neighbors = store.covisible_kfs(k, n=cfg.tri_neighbors, min_weight=cfg.tri_min_covis)
         if len(neighbors) == 0:
             return
         pairs = [(k, int(j)) for j in neighbors] + [(int(j), k) for j in neighbors]
-        for tgt, src in pairs:
-            src_obs = store.kf_obs[src]
-            mp_ids = np.unique(src_obs[src_obs >= 0])
-            mp_ids = mp_ids[store.mp_valid[mp_ids]]
-            # only points the target does not already observe
-            mp_ids = np.setdiff1d(mp_ids, store.kf_obs[tgt], assume_unique=False)
-            if len(mp_ids) == 0:
+        P = 1 << int(np.ceil(np.log2(max(2 * cfg.tri_neighbors, 2))))
+        N, D = store.n_slots, store.desc_dim
+        R_t = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
+        t_t = np.zeros((P, 3), np.float32)
+        xy_t = np.zeros((P, N, 2), np.float32)
+        desc_t = np.zeros((P, N, D), np.float32)
+        oct_t = np.zeros((P, N), np.int32)
+        free_t = np.zeros((P, N), bool)
+        cand = np.full((P, N), -1, np.int32)
+        for pi, (tgt, src) in enumerate(pairs):
+            R_t[pi], t_t[pi] = store.kf_R[tgt], store.kf_t[tgt]
+            xy_t[pi] = store.kf_xy[tgt]
+            desc_t[pi] = store.kf_desc[tgt]
+            oct_t[pi] = store.kf_octave[tgt]
+            free_t[pi] = store.kf_mask[tgt] & (store.kf_obs[tgt] < 0)
+            cand[pi] = store.kf_obs[src]  # source point set, slot-aligned
+
+        dm = fused.get_device_map(store)
+        dm.sync()
+        idx = np.asarray(fused.fuse_pairs_batch(
+            self.cam.kind, self.cam.params,
+            float(self.cam.width), float(self.cam.height),
+            R_t, t_t, xy_t, desc_t, oct_t, free_t, cand,
+            dm.pos, dm.desc, dm.valid,
+            radius=float(cfg.fuse_radius), max_dist=float(cfg.fuse_max_dist)))
+
+        for pi, (tgt, src) in enumerate(pairs):
+            slots = np.nonzero(idx[pi] >= 0)[0]
+            if len(slots) == 0:
                 continue
-            cap = cfg.ba_mp_cap
-            mp_ids = mp_ids[:cap]
-            pos = np.zeros((cap, 3), np.float32)
-            desc = np.zeros((cap, store.desc_dim), np.float32)
-            valid = np.zeros(cap, bool)
-            pos[: len(mp_ids)] = store.mp_pos[mp_ids]
-            desc[: len(mp_ids)] = store.mp_desc[mp_ids]
-            valid[: len(mp_ids)] = True
-            free_t = store.kf_mask[tgt] & (store.kf_obs[tgt] < 0)
-            idx, _, _ = search.search_by_projection(
-                self.cam.kind, self.cam.params, (self.cam.width, self.cam.height),
-                jnp.asarray(store.kf_R[tgt]), jnp.asarray(store.kf_t[tgt]),
-                jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
-                jnp.asarray(store.kf_xy[tgt]), jnp.asarray(store.kf_desc[tgt]),
-                jnp.asarray(store.kf_octave[tgt]), jnp.asarray(free_t),
-                radius=cfg.fuse_radius, max_dist=cfg.fuse_max_dist,
-            )
-            idx = np.asarray(idx)
-            slots = np.nonzero(idx >= 0)[0]
-            if len(slots):
-                store.assign_observations(tgt, slots, mp_ids[idx[slots]])
-                self.stats["fused"] += len(slots)
+            mp_new = cand[pi][idx[pi][slots]]
+            ok = store.mp_valid[mp_new]
+            # drop points the target already observes (duplicate guard) and
+            # duplicate claims within this pass
+            tgt_obs = store.kf_obs[tgt]
+            ok &= ~np.isin(mp_new, tgt_obs[tgt_obs >= 0])
+            _, first = np.unique(mp_new, return_index=True)
+            uniq = np.zeros(len(mp_new), bool)
+            uniq[first] = True
+            ok &= uniq
+            # slots may have gained a point since the snapshot (earlier pair
+            # in this same pass): only claim still-free slots
+            ok &= store.kf_obs[tgt][slots] < 0
+            if ok.any():
+                store.assign_observations(tgt, slots[ok], mp_new[ok])
+                self.stats["fused"] += int(ok.sum())
         store.update_covisibility(k)
 
     # ------------------------------------------------------------------
@@ -370,6 +402,7 @@ class LocalMapper:
             with self.lock:
                 self.propagate_ba_correction(res["kf_ids"], res["mp_ids"],
                                              pre_R, pre_t, scope=kf_ids)
+                store.bump_change()  # whole-map move -> device mirror resync
 
     def _run_dist_gba(self, kf_ids, fixed_ids, rounds, kf_cap, mp_cap,
                       edge_cap):
@@ -600,7 +633,8 @@ class LocalMapper:
             alive = store.mp_valid[mp_ids]
             store.mp_pos[mp_ids[alive]] = out.points[: len(mp_ids)][alive]
             self._detach_outliers(out.valid[:n_e], kf_e, slot_e, mp_ids)
-            store.bump_change()
+            store.mark_points_dirty(mp_ids)
+            store.bump_change(dirty_points=False)
         return {"kf_ids": kf_ids, "mp_ids": mp_ids}
 
     # ------------------------------------------------------------------
@@ -660,8 +694,10 @@ class LocalMapper:
         if res is not None:
             # keyframes/points older than the temporal window follow the
             # window boundary so the map stays mutually consistent
-            self.propagate_ba_correction(res["kf_ids"], res["mp_ids"],
-                                         pre_R, pre_t)
+            with self.lock:
+                self.propagate_ba_correction(res["kf_ids"], res["mp_ids"],
+                                             pre_R, pre_t)
+                store.bump_change()
 
     def _run_inertial_ba(self, opt_ids, fixed_ids, vim, mp_ids, rounds,
                          kf_cap, prior_g=0.0, prior_a=0.0):
@@ -786,6 +822,7 @@ class LocalMapper:
             store.kf_bg[kf] = np.asarray(out.bg)[i]
             store.kf_ba[kf] = np.asarray(out.ba)[i]
         store.mp_pos[mp_ids] = np.asarray(out.points)[: len(mp_ids)]
+        store.mark_points_dirty(mp_ids)
         self._detach_outliers(np.asarray(out.valid)[:n_e], kf_e, slot_e,
                               mp_ids)
         # relinearize chain preintegrations whose bias moved too far

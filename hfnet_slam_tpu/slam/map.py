@@ -95,9 +95,36 @@ class MapStore:
         # the last frame (chooses LastFrame vs LastKeyFrame VI anchoring,
         # Tracking.cc mbMapUpdated)
         self.map_change_idx = 0
+        # dirty tracking for the tracker's device-resident map mirror
+        # (slam/fused.DeviceMap): row-level marks for point insert/update,
+        # the all-dirty flag for whole-map moves (BA, loop, rescale)
+        self._mp_dirty = np.zeros(M, bool)
+        self._mp_dirty_all = True
 
-    def bump_change(self):
+    def bump_change(self, dirty_points: bool = True):
+        """Signal a geometry write-back. dirty_points=False when the writer
+        already row-marked exactly the points it touched."""
         self.map_change_idx += 1
+        if dirty_points:
+            self._mp_dirty_all = True
+
+    def mark_points_dirty(self, ids):
+        """Row-level dirty marks for the device map mirror."""
+        if not self._mp_dirty_all:
+            self._mp_dirty[np.asarray(ids, int)] = True
+
+    def consume_dirty_points(self):
+        """Returns None (clean), 'all', or an int array of dirty rows, and
+        resets the marks. Called by DeviceMap.sync() under the map lock."""
+        if self._mp_dirty_all:
+            self._mp_dirty_all = False
+            self._mp_dirty[:] = False
+            return "all"
+        if not self._mp_dirty.any():
+            return None
+        ids = np.nonzero(self._mp_dirty)[0]
+        self._mp_dirty[:] = False
+        return ids
 
     # ------------------------------------------------------------------
     # keyframes
@@ -219,6 +246,7 @@ class MapStore:
         self.mp_visible[ids] = 1
         self.mp_found[ids] = 1
         self.mp_first_kf[ids] = first_kf
+        self.mark_points_dirty(ids)
         return ids
 
     def remove_points(self, ids):
@@ -226,6 +254,7 @@ class MapStore:
         if len(ids) == 0:
             return
         self.mp_valid[ids] = False
+        self.mark_points_dirty(ids)
         # detach observations
         sel = np.isin(self.kf_obs, ids)
         self.kf_obs[sel] = -1
@@ -313,6 +342,7 @@ class MapStore:
         dmax = d_ref * scale_factor ** oct_ref
         self.mp_dmax[mp_ids] = dmax
         self.mp_dmin[mp_ids] = dmax / scale_factor ** (n_levels - 1)
+        self.mark_points_dirty(mp_ids)
 
     def refresh_point_descriptors(self, mp_ids, max_obs=8):
         """Recompute each point's representative descriptor as the
@@ -351,6 +381,7 @@ class MapStore:
         best = np.asarray(M.distinctive_descriptors(jnp.asarray(descs),
                                                     jnp.asarray(mask)))
         self.mp_desc[uniq] = best[: len(uniq)]
+        self.mark_points_dirty(uniq)
 
     def points_seen_by(self, kf_ids):
         """Union of map-point ids observed by the given keyframes."""

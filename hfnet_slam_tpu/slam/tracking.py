@@ -40,6 +40,17 @@ RECENTLY_LOST = 3
 _STATE_NAMES = {0: "NOT_INITIALIZED", 1: "OK", 2: "LOST", 3: "RECENTLY_LOST"}
 
 
+def _orthonormalize_np(R):
+    """Nearest rotation (Frobenius) via SVD — numpy twin of
+    lie.orthonormalize for the host-side motion-model update."""
+    U, _, Vt = np.linalg.svd(R.astype(np.float64))
+    W = U @ Vt
+    if np.linalg.det(W) < 0:
+        U[:, -1] = -U[:, -1]
+        W = U @ Vt
+    return W.astype(np.float32)
+
+
 @dataclasses.dataclass
 class TrackerConfig:
     # matching
@@ -166,6 +177,16 @@ class Tracker:
         self.n_relocalizations = 0
         self._key = jnp.asarray(np.random.default_rng(rng_seed).integers(0, 2**31, 2), jnp.uint32)
         self.trajectory = []  # TrajEntry per tracked frame
+        # fused fast path (slam/fused.py): the whole per-frame visual
+        # pipeline as one jitted program against the device-resident map
+        c = self.cfg
+        from .fused import FusedConfig
+        self._fused_cfg = FusedConfig(
+            motion_window=c.motion_window,
+            motion_window_retry=c.motion_window_retry,
+            local_window=c.local_window, th_high=c.th_high,
+            min_motion_matches=c.min_motion_matches)
+        self._local_ids = None  # next frame's local-map candidate ids
         # async pipeline wiring (slam/pipeline.py): when `worker` is set,
         # keyframes are enqueued instead of processed inline, and `lock` is
         # the shared map RLock (Map::mMutexMapUpdate discipline,
@@ -195,6 +216,7 @@ class Tracker:
         self._last_kf = -1
         self._vi_state = None
         self._seen_change = -1
+        self._local_ids = None
         if self.vi is not None:
             self.vi.store = store
             self.vi.kf_pre.clear()
@@ -239,14 +261,21 @@ class Tracker:
             else:
                 self._monocular_initialization(frame)
         elif self.state == OK:
-            ok = self._track_frame(frame)
-            if ok:
-                self._track_local_map(frame)
-            else:
-                # a failed attempt may have written a garbage pose; a frame
-                # is only tracked if the full gate chain passed
-                frame.R = None
-                frame.t = None
+            handled = False
+            if not self._vi_active():
+                # fused fast path: one jitted program for the whole visual
+                # pipeline (slam/fused.py). Returns False when its gates
+                # fail, in which case the reference's staged fallbacks run.
+                handled = self._track_fused(frame)
+            if not handled:
+                ok = self._track_frame(frame)
+                if ok:
+                    self._track_local_map(frame)
+                else:
+                    # a failed attempt may have written a garbage pose; a
+                    # frame is only tracked if the full gate chain passed
+                    frame.R = None
+                    frame.t = None
             if frame.R is None:
                 self._on_tracking_failure()
             else:
@@ -388,6 +417,7 @@ class Tracker:
             return
         store.kf_t[kf1] /= med
         store.mp_pos[ids] /= med
+        store.mark_points_dirty(ids)
 
         frame.R = store.kf_R[kf1].copy()
         frame.t = store.kf_t[kf1].copy()
@@ -630,6 +660,112 @@ class Tracker:
         return n_in >= cfg.min_pose_inliers
 
     # ------------------------------------------------------------------
+    # fused fast path (slam/fused.py): the whole OK-state visual pipeline
+    # as ONE jitted dispatch against the device-resident map mirror
+    # ------------------------------------------------------------------
+    def _track_fused(self, frame) -> bool:
+        """Run motion-search -> pose-opt -> local-search -> pose-opt as one
+        device program. Returns True when this path fully handled the frame
+        (success, or a definitive tracking failure with frame.R = None);
+        False to fall back to the staged reference pipeline
+        (TrackReferenceKeyFrame etc.)."""
+        from . import fused
+
+        cfg = self.cfg
+        store = self.store
+        if self.last_frame is None or self.last_frame.obs is None:
+            return False
+        last_obs = self.last_frame.obs
+        mp_ids = np.unique(last_obs[last_obs >= 0])
+        mp_ids = mp_ids[store.mp_valid[mp_ids]]
+        if len(mp_ids) < 3:
+            return False
+        if self._local_ids is None:
+            self._update_local_set(last_obs)
+            if self._local_ids is None:
+                return False
+        R0, t0 = self._predicted_pose()
+        dm = fused.get_device_map(store)
+        dm.sync()
+        motion_ids = np.full(store.n_slots, -1, np.int32)
+        n_m = min(len(mp_ids), store.n_slots)
+        motion_ids[:n_m] = mp_ids[:n_m]
+        if frame.depth is not None and cfg.bf > 0:
+            z = np.where(frame.depth > 0, frame.depth, 0.0).astype(np.float32)
+            wz = np.where(z > 0, cfg.bf / np.maximum(z, 1e-3) ** 2,
+                          0.0).astype(np.float32)
+        else:
+            z = wz = np.zeros(store.n_slots, np.float32)
+        out = fused.track_step(
+            self.cam.kind, self.cam.params,
+            float(self.cam.width), float(self.cam.height),
+            R0, t0,
+            dm.pos, dm.desc, dm.normal, dm.dmin, dm.dmax, dm.valid,
+            motion_ids, self._local_ids,
+            frame.feats.xy, frame.feats.desc, frame.feats.octave,
+            frame.feats.mask, z, wz, self._fused_cfg)
+        stats = np.asarray(out["stats"])
+        n1, n_in1, n_in2 = int(stats[0]), int(stats[1]), int(stats[2])
+        if n1 < cfg.min_motion_matches or n_in1 < cfg.min_pose_inliers:
+            return False  # staged fallbacks (ref-KF brute force) take over
+
+        frame.R = np.asarray(out["R"])
+        frame.t = np.asarray(out["t"])
+        frame.obs = np.asarray(out["obs"])
+        self.n_inliers = n_in2
+
+        # visibility / found statistics (parity with _track_local_map)
+        vis = np.asarray(out["vis_local"])
+        lids = self._local_ids
+        store.mp_visible[lids[(lids >= 0) & vis]] += 1
+        obs1 = np.asarray(out["obs1"])
+        store.mp_visible[np.unique(obs1[obs1 >= 0])] += 1
+        found = frame.obs[frame.obs >= 0]
+        store.mp_found[found] += 1
+
+        if n_in2 < cfg.min_local_inliers and n_in2 < cfg.min_pose_inliers:
+            frame.R = None
+            frame.t = None
+            return True  # definitive failure; _on_tracking_failure handles
+        # motion model + next frame's local candidate set (host, numpy)
+        R_l, t_l = self.last_frame.R, self.last_frame.t
+        R_v = _orthonormalize_np(frame.R @ R_l.T)
+        self.velocity = (R_v, frame.t - R_v @ t_l)
+        self._update_local_set(frame.obs)
+        return True
+
+    def _update_local_set(self, obs):
+        """Compute the local-map candidate ids (UpdateLocalKeyFrames/Points,
+        Tracking.cc:2760-3023) for the NEXT fused frame, and refresh the
+        reference keyframe (most shared observations, :2962). Host-side
+        integer bookkeeping only — no descriptors move."""
+        store = self.store
+        matched = np.unique(obs[obs >= 0])
+        matched = matched[store.mp_valid[matched]]
+        if len(matched) == 0:
+            self._local_ids = None
+            return
+        kf_ids, _, _ = store.observing_slots(matched)
+        if len(kf_ids) == 0:
+            self._local_ids = None
+            return
+        counts = np.bincount(kf_ids, minlength=store.k_max)
+        local_kfs = np.nonzero(counts)[0]
+        self.ref_kf = int(local_kfs[np.argmax(counts[local_kfs])])
+        extra = []
+        for k in local_kfs[np.argsort(-counts[local_kfs])][:10]:
+            extra.extend(store.covisible_kfs(k, n=10, min_weight=15))
+        if extra:
+            local_kfs = np.unique(np.concatenate(
+                [local_kfs, np.asarray(extra, int)]))
+        local_mps = store.points_seen_by(local_kfs)
+        cap = self.cfg.local_mp_cap
+        ids = np.full(cap, -1, np.int32)
+        n = min(len(local_mps), cap)
+        ids[:n] = local_mps[:n]
+        self._local_ids = ids
+
+    # ------------------------------------------------------------------
     # relocalization (Tracking::Relocalization, Tracking.cc:3024)
     # ------------------------------------------------------------------
     def _relocalize(self, frame) -> bool:
@@ -697,6 +833,7 @@ class Tracker:
             if n_in >= cfg.min_reloc_inliers:
                 self.ref_kf = int(c)
                 self.velocity = None
+                self._local_ids = None
                 self.n_inliers = n_in
                 self.n_relocalizations += 1
                 return True
@@ -867,6 +1004,7 @@ class Tracker:
                                obs=frame.obs, depth=frame.depth)
         self.ref_kf = k
         self.frames_since_kf = 0
+        self._local_ids = None  # recompute from the refreshed observations
         if frame.depth is not None:
             self._create_depth_points(frame, k)
         if self.vi is not None:

@@ -42,7 +42,10 @@ def merge_run():
             local_mp_cap=2048, min_init_med_parallax_deg=2.0,
             recently_lost_frames=4,   # short window -> LOST -> new map
             min_reloc_inliers=10**9,  # force relocalization to fail
-            mature_map_kfs=4,         # store (not discard) the first map
+            mature_map_kfs=3,         # store (not discard) the first map
+            # the synthetic world tracks so cleanly that c2 fires late;
+            # raise the ratio so keyframes accrue before the blackout
+            kf_ref_ratio=0.95,
         ),
         mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=2048, ba_edge_cap=8192,
                             tri_neighbors=5),

@@ -111,7 +111,13 @@ class TestRelocalizationE2E:
             loop_closing=False,
             tracker=TrackerConfig(local_mp_cap=2048,
                                   min_init_med_parallax_deg=4.0,
-                                  mature_map_kfs=3,
+                                  # the synthetic world tracks so cleanly
+                                  # that c2 (inliers < ratio * ref) fires
+                                  # late; raise the ratio + lower the
+                                  # maturity gate so the blackout lands on
+                                  # a mature map regardless of timing
+                                  kf_ref_ratio=0.95,
+                                  mature_map_kfs=2,
                                   min_reloc_inliers=30),
             mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=2048, ba_edge_cap=8192,
                                 tri_neighbors=5),
