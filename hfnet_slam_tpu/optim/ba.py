@@ -227,13 +227,21 @@ def bundle_adjust(
     rounds=((5, True), (10, True), (8, False)),
     chi2_th: float = factors.CHI2_MONO,
     final_classify: bool = True,
+    should_abort=None,
 ):
     """Full BA schedule: LM rounds with outlier re-classification between
     them (mirrors LocalBundleAdjustment's 5-iteration probe + 10-iteration
-    main solve, Optimizer.cc:1350-1365, and its final outlier sweep)."""
+    main solve, Optimizer.cc:1350-1365, and its final outlier sweep).
+
+    should_abort: optional zero-arg callable polled between rounds — the
+    detached global-BA thread's stop flag (the reference's mbStopGBA,
+    LoopClosing.cc:1123-1133); on True the remaining rounds are skipped
+    (the caller discards the result)."""
     prob = with_depth_defaults(prob)
     base_valid = prob.valid
     for n_iters, robust in rounds:
+        if should_abort is not None and should_abort():
+            break
         prob, _ = ba_iterate(cam_kind, cam_params, prob, n_iters, robust, chi2_th)
         new_valid = classify_edges(cam_kind, cam_params, prob, chi2_th, base_valid)
         prob = prob._replace(valid=new_valid)

@@ -59,9 +59,12 @@ class ShardedBA(NamedTuple):
 def partition_edges(n_dev, K, M_per_dev, E_per_dev, poses_R, poses_t, fixed,
                     points, kf_idx, pt_idx, uv, inv_sigma2, valid):
     """Host-side packing: landmarks round-robin into n_dev slabs, each edge
-    into its landmark's slab. Overflow beyond the per-device caps is
-    dropped (log if it matters; caps should be sized to the problem)."""
+    into its landmark's slab. Caps must be sized to the problem (the
+    mapper computes them exactly, local_mapping._run_dist_gba); any
+    overflow is LOGGED loudly — a dropped edge silently weakens the solve.
+    """
     D, Ml, El = n_dev, M_per_dev, E_per_dev
+    n_dropped = 0
     pts = np.zeros((D, Ml, 3), np.float32)
     kfe = np.zeros((D, El), np.int32)
     pte = np.zeros((D, El), np.int32)
@@ -83,6 +86,7 @@ def partition_edges(n_dev, K, M_per_dev, E_per_dev, poses_R, poses_t, fixed,
         m = pt_idx[e]
         d = owner[m]
         if not ok[m] or fill[d] >= El:
+            n_dropped += 1
             continue
         i = fill[d]
         kfe[d, i] = kf_idx[e]
@@ -91,6 +95,12 @@ def partition_edges(n_dev, K, M_per_dev, E_per_dev, poses_R, poses_t, fixed,
         ise[d, i] = inv_sigma2[e]
         vae[d, i] = True
         fill[d] += 1
+    if n_dropped:
+        from ..utils.log import warn
+
+        warn(f"dist_ba.partition_edges: {n_dropped} edges overflowed the "
+             f"per-device caps (Ml={Ml}, El={El}) and were DROPPED — "
+             "size the caps to the problem")
     return ShardedBA(
         poses_R=jnp.asarray(poses_R), poses_t=jnp.asarray(poses_t),
         fixed=jnp.asarray(fixed), points=jnp.asarray(pts),
@@ -115,13 +125,42 @@ def _shard_terms(cam_kind, cam_params, poses_R, poses_t, points,
     return r, Jc, Jp, w
 
 
+@functools.partial(jax.jit, static_argnames=("cam_kind", "mesh", "robust"))
 def dist_lm_step(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
-                 lam: float = 1e-4, robust: bool = True,
-                 chi2_th: float = factors.CHI2_MONO):
-    """One distributed Levenberg-Marquardt iteration. Returns updated
-    (poses_R, poses_t, points). Jit-compatible; call under jax.jit."""
+                 lam=1e-4, robust: bool = True,
+                 chi2_th: float = factors.CHI2_MONO,
+                 max_step: float = 0.25):
+    """One distributed Levenberg-Marquardt iteration with IN-GRAPH
+    accept/reject. Returns (poses_R, poses_t, points, lam_new, cost,
+    accepted). Jitted with the mesh static: one compile per problem shape.
+
+    f32 numerics mirror the single-device engine (optim/ba.ba_iterate):
+      * accept on the psum of PER-EDGE cost differences — comparing two
+        large cost totals under-resolves a converged step in f32;
+      * Jacobi-scaled reduced-system solve (conditioning grows with K);
+      * per-camera/per-point step caps against quasi-nullspace excursions;
+      * lambda floor 1e-4."""
     K = prob.poses_R.shape[0]
     axis = "ba"
+    dt = prob.points.dtype
+    lam = jnp.asarray(lam, dt)
+    chi2_th = jnp.asarray(chi2_th, dt)
+    max_step = jnp.asarray(max_step, dt)
+
+    def robust_cost(chi2):
+        if not robust:
+            return chi2
+        return jnp.where(chi2 <= chi2_th, chi2,
+                         2.0 * jnp.sqrt(chi2_th * jnp.maximum(chi2, 0.0))
+                         - chi2_th)
+
+    def local_cost(poses_R, poses_t, points, kf_idx, pt_idx, uv, inv_s2, valid):
+        r, _, _, w0 = _shard_terms(
+            cam_kind, cam_params, poses_R, poses_t, points,
+            kf_idx, pt_idx, uv, inv_s2, valid, False, chi2_th)
+        chi2 = jnp.sum(r * r, axis=-1) * inv_s2
+        m = (w0 > 0).astype(dt)
+        return robust_cost(chi2) * m  # per-edge
 
     def step(poses_R, poses_t, fixed, points, kf_idx, pt_idx, uv, inv_s2, valid):
         # leading device axis is mapped away by shard_map
@@ -143,7 +182,7 @@ def dist_lm_step(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
             jnp.einsum("eri,erj->eij", JcW, Jp), pt_idx * K + kf_idx, Ml * K
         ).reshape(Ml, K, 6, 3)
 
-        eye3 = jnp.eye(3, dtype=points.dtype)
+        eye3 = jnp.eye(3, dtype=dt)
         Hpp_d = Hpp + (lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., None] * eye3
         Hpp_inv = jnp.linalg.inv(Hpp_d)
         WHinv = jnp.einsum("mkac,mcd->mkad", Wcp, Hpp_inv)
@@ -155,7 +194,7 @@ def dist_lm_step(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
         S_off = jax.lax.psum(S_part, axis)
         rhs = jax.lax.psum(rhs_part, axis)
 
-        eyeK6 = jnp.eye(6, dtype=points.dtype)
+        eyeK6 = jnp.eye(6, dtype=dt)
         Hcc_d = Hcc + (lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., None] * eyeK6
         S = S_off.at[jnp.arange(K), :, jnp.arange(K), :].add(Hcc_d)
         free = (~fixed).astype(S.dtype)
@@ -163,30 +202,65 @@ def dist_lm_step(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
         S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(eyeK6 * fixed[:, None, None])
         rhs = rhs * free[:, None]
 
-        dc = jnp.linalg.solve(S.reshape(K * 6, K * 6), rhs.reshape(K * 6)).reshape(K, 6)
+        # Jacobi-scaled solve: the reduced camera system's conditioning
+        # grows with K and kills a raw float32 solve near convergence;
+        # symmetric diagonal scaling keeps the f32 solve usable at K=256+
+        S2 = S.reshape(K * 6, K * 6)
+        r2 = rhs.reshape(K * 6)
+        d = jnp.sqrt(jnp.clip(jnp.abs(jnp.diagonal(S2)), 1e-12))
+        y = jnp.linalg.solve(S2 / d[:, None] / d[None, :], r2 / d)
+        dc = (y / d).reshape(K, 6)
         dc = dc * free[:, None]
+        # camera step trust region (quasi-nullspace guard)
+        cstep = jnp.sqrt(jnp.sum(dc * dc, axis=-1))
+        dc = dc * jnp.minimum(1.0, max_step / jnp.maximum(jnp.max(cstep), 1e-12))
 
-        # local landmark back-substitution
+        # local landmark back-substitution (+ per-point step cap)
         Hpc_dc = jnp.einsum("mkac,ka->mc", Wcp, dc)
         dp = jnp.einsum("mcd,md->mc", Hpp_inv, -bp - Hpc_dc)
+        pstep = jnp.sqrt(jnp.sum(dp * dp, axis=-1))
+        dp = dp * jnp.minimum(1.0, max_step / jnp.maximum(pstep, 1e-12))[:, None]
 
         R_new, t_new = jax.vmap(lie.se3_retract)(poses_R, poses_t, dc)
-        return R_new.astype(poses_R.dtype), t_new.astype(poses_t.dtype), (points + dp)[None]
+        R_new = lie.orthonormalize(R_new).astype(dt)
+        t_new = t_new.astype(dt)
+        pts_new = points + dp
+
+        # ---- in-graph accept/reject on the psum of per-edge differences ----
+        c_old_e = local_cost(poses_R, poses_t, points,
+                             kf_idx, pt_idx, uv, inv_s2, valid)
+        c_new_e = local_cost(R_new, t_new, pts_new,
+                             kf_idx, pt_idx, uv, inv_s2, valid)
+        dcost = jax.lax.psum(jnp.sum(c_new_e - c_old_e), axis)
+        # ok must be IDENTICAL on every device: dc/dcost are replicated,
+        # and the per-shard landmark finiteness is psum-combined
+        bad_local = (~(jnp.all(jnp.isfinite(dp))
+                       & jnp.all(jnp.isfinite(pts_new)))).astype(jnp.int32)
+        ok = (dcost < 0) & jnp.all(jnp.isfinite(dc)) \
+            & (jax.lax.psum(bad_local, axis) == 0)
+        poses_R_o = jnp.where(ok, R_new, poses_R)
+        poses_t_o = jnp.where(ok, t_new, poses_t)
+        pts_o = jnp.where(ok, pts_new, points)
+        lam_new = jnp.where(ok, jnp.maximum(lam * 0.33, 1e-4),
+                            jnp.minimum(lam * 4.0, 1e4))
+        cost = jax.lax.psum(jnp.sum(jnp.where(ok, c_new_e, c_old_e)), axis)
+        return (poses_R_o, poses_t_o, pts_o[None], lam_new[None],
+                cost[None], ok[None])
 
     f = jax.shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P(), P(axis)),
+        out_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
     )
-    return f(prob.poses_R, prob.poses_t, prob.fixed, prob.points,
-             prob.kf_idx, prob.pt_idx, prob.uv, prob.inv_sigma2, prob.valid)
+    R, t, pts, lam_new, cost, ok = f(
+        prob.poses_R, prob.poses_t, prob.fixed, prob.points,
+        prob.kf_idx, prob.pt_idx, prob.uv, prob.inv_sigma2, prob.valid)
+    return R, t, pts, lam_new[0], cost[0], ok[0]
 
 
-def dist_cost(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
-              robust: bool = True):
-    """Total (Huber-robustified) chi2 over the mesh (one psum). Robust by
-    default so gross outliers — which BA cannot remove, only down-weight —
-    don't mask the inlier convergence signal."""
+@functools.partial(jax.jit, static_argnames=("cam_kind", "mesh", "robust"))
+def _dist_cost_jit(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
+                   robust: bool = True):
     axis = "ba"
 
     def f(poses_R, poses_t, points, kf_idx, pt_idx, uv, inv_s2, valid):
@@ -203,46 +277,63 @@ def dist_cost(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
     )
-    return float(np.asarray(g(prob.poses_R, prob.poses_t, prob.points,
-                              prob.kf_idx, prob.pt_idx, prob.uv,
-                              prob.inv_sigma2, prob.valid))[0])
+    return g(prob.poses_R, prob.poses_t, prob.points,
+             prob.kf_idx, prob.pt_idx, prob.uv,
+             prob.inv_sigma2, prob.valid)
+
+
+def dist_cost(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
+              robust: bool = True):
+    """Total (Huber-robustified) chi2 over the mesh (one psum). Robust by
+    default so gross outliers — which BA cannot remove, only down-weight —
+    don't mask the inlier convergence signal."""
+    return float(np.asarray(
+        _dist_cost_jit(cam_kind, cam_params, prob, mesh, robust))[0])
 
 
 def dist_bundle_adjust(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
                        rounds=((5, True), (10, True)), lam: float = 1e-4,
-                       chi2_th: float = factors.CHI2_MONO):
+                       chi2_th: float = factors.CHI2_MONO,
+                       should_abort=None):
     """Full distributed BA: the single-device bundle_adjust's iteration
     schedule (robust stages, then a cleanup stage) around dist_lm_step,
     plus a final per-edge outlier classification. This is what the mapper
     routes big global solves through (LocalMapper.run_global_ba).
 
+    should_abort: optional zero-arg callable polled between LM iterations
+    (the detached GBA thread's stop flag, mbStopGBA semantics).
+
     Returns (prob_out, edge_valid (D,El) bool, costs list)."""
+    base_valid = prob.valid
     costs = [dist_cost(cam_kind, cam_params, prob, mesh)]
     for iters, robust in rounds:
         for _ in range(iters):
-            R, t, pts = dist_lm_step(cam_kind, cam_params, prob, mesh,
-                                     lam=lam, robust=robust,
-                                     chi2_th=chi2_th)
-            new = prob._replace(poses_R=R, poses_t=t, points=pts)
-            c = dist_cost(cam_kind, cam_params, new, mesh)
-            if np.isfinite(c) and c <= costs[-1] * 1.5:
-                prob, costs = new, costs + [c]
-            else:  # reject a diverging step, raise damping
-                lam *= 10.0
-        # between stages: drop edges past the chi2 gate, like g2o's
-        # outlier setLevel(1) between rounds (Optimizer.cc:999-1104) —
-        # the later (non-robust) stages must not chase gross outliers
+            if should_abort is not None and should_abort():
+                break
+            # accept/reject + damping adaptation run IN-GRAPH on the psum
+            # of per-edge cost differences (dist_lm_step docstring); the
+            # host loop only carries lam and the monitoring cost
+            R, t, pts, lam, c, _ok = dist_lm_step(
+                cam_kind, cam_params, prob, mesh, lam=lam, robust=robust,
+                chi2_th=chi2_th)
+            prob = prob._replace(poses_R=R, poses_t=t, points=pts)
+            costs.append(float(np.asarray(c)))
+        # between stages: re-classify edges against the BASE validity set
+        # (outlier recycling, like the single-device engine) — drops that
+        # prove premature as the solve converges are reinstated
         prob = prob._replace(
-            valid=prob.valid & jnp.asarray(
-                _dist_classify(cam_kind, cam_params, prob, mesh, chi2_th)))
+            valid=base_valid & jnp.asarray(
+                _dist_classify(cam_kind, cam_params,
+                               prob._replace(valid=base_valid), mesh,
+                               chi2_th)))
     edge_valid = _dist_classify(cam_kind, cam_params, prob, mesh, chi2_th)
     edge_valid = edge_valid & np.asarray(prob.valid)
     return prob, edge_valid, costs
 
 
-def _dist_classify(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
-                   chi2_th: float):
-    """Per-edge chi2 gate (D, El) over the mesh."""
+@functools.partial(jax.jit, static_argnames=("cam_kind", "mesh"))
+def _dist_classify_jit(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
+                       chi2_th: float = factors.CHI2_MONO):
     axis = "ba"
 
     def cls(poses_R, poses_t, points, kf_idx, pt_idx, uv, inv_s2, valid):
@@ -260,6 +351,13 @@ def _dist_classify(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
     )
-    return np.asarray(g(prob.poses_R, prob.poses_t, prob.points,
-                        prob.kf_idx, prob.pt_idx, prob.uv,
-                        prob.inv_sigma2, prob.valid))
+    return g(prob.poses_R, prob.poses_t, prob.points,
+             prob.kf_idx, prob.pt_idx, prob.uv,
+             prob.inv_sigma2, prob.valid)
+
+
+def _dist_classify(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
+                   chi2_th: float):
+    """Per-edge chi2 gate (D, El) over the mesh."""
+    return np.asarray(
+        _dist_classify_jit(cam_kind, cam_params, prob, mesh, chi2_th))

@@ -374,78 +374,127 @@ class LocalMapper:
                      mp_ids=mp_ids)
 
     def run_global_ba(self, fixed_ids, rounds=((10, True),), kf_cap=None,
-                      mp_cap=None, edge_cap=None):
+                      mp_cap=None, edge_cap=None, should_abort=None):
         """Full-map BA (GlobalBundleAdjustemnt analogue, Optimizer.cc:52):
-        every valid keyframe and landmark. When the fixed-shape capacity is
-        smaller than the map, the keyframes/points that did not fit are
-        corrected afterwards by propagating the optimized deltas through
-        the spanning tree (the reference does the same for KFs born during
-        the GBA thread, LoopClosing.cc:2408-2540) — no part of the map is
-        left behind on a stale pose."""
+        EVERY valid keyframe and landmark optimizes. Problems larger than
+        the single-solver capacity route through the distributed Schur
+        solver (parallel/dist_ba.py) sized to the whole map — on one device
+        it is the same math, so no keyframe is ever left on a rigid
+        propagation fallback. Propagation remains only for keyframes BORN
+        while a detached solve was running (the reference's
+        RunGlobalBundleAdjustment correction, LoopClosing.cc:2440-2540).
+
+        should_abort: polled between LM rounds (mbStopGBA semantics); on
+        True the solve is discarded without write-back."""
         store = self.store
+        cfg = self.cfg
         with self.lock:
             kf_ids = store.valid_kf_ids()
             if len(kf_ids) < 2:
                 return
             pre_R = store.kf_R.copy()
             pre_t = store.kf_t.copy()
-        if self.mesh is not None and len(kf_ids) >= self.dist_min_kfs:
+            pre_uid = store.kf_uid.copy()
+            n_mp = int(store.mp_valid.sum())
+            n_obs = int((store.kf_obs[kf_ids] >= 0).sum())
+        # anything past the single-solver capacity goes distributed
+        # (uncapped); a configured mesh also pulls large solves over
+        use_dist = (self.mesh is not None and len(kf_ids) >= self.dist_min_kfs) \
+            or len(kf_ids) > (kf_cap or cfg.ba_kf_cap) \
+            or n_mp > (mp_cap or cfg.ba_mp_cap) \
+            or n_obs > (edge_cap or cfg.ba_edge_cap)
+        if use_dist:
             res = self._run_dist_gba(list(kf_ids),
                                      set(int(i) for i in fixed_ids), rounds,
-                                     kf_cap, mp_cap, edge_cap)
+                                     should_abort=should_abort)
         else:
             res = self._run_ba(list(kf_ids),
                                fixed_ids=set(int(i) for i in fixed_ids),
                                rounds=rounds, kf_cap=kf_cap, mp_cap=mp_cap,
-                               edge_cap=edge_cap)
+                               edge_cap=edge_cap, should_abort=should_abort)
         if res is not None:
             with self.lock:
+                # keyframes born during a detached solve keep their pose
+                # relative to their anchors: their "pre" pose is the
+                # creation pose (they were created in the same world frame
+                # the solve started from)
+                born = store.kf_valid & (store.kf_uid != pre_uid)
+                pre_R[born] = store.kf_R[born]
+                pre_t[born] = store.kf_t[born]
                 self.propagate_ba_correction(res["kf_ids"], res["mp_ids"],
-                                             pre_R, pre_t, scope=kf_ids)
+                                             pre_R, pre_t)
                 store.bump_change()  # whole-map move -> device mirror resync
 
-    def _run_dist_gba(self, kf_ids, fixed_ids, rounds, kf_cap, mp_cap,
-                      edge_cap):
+    def _default_mesh(self):
+        """1-device mesh for uncapped global solves when no multi-chip mesh
+        is installed — the distributed Schur path is the same math on one
+        device, and it has no fixed keyframe cap."""
+        import jax.sharding
+
+        return jax.sharding.Mesh(
+            np.asarray(jax.devices()[:1]).reshape(1), ("ba",))
+
+    def _run_dist_gba(self, kf_ids, fixed_ids, rounds, should_abort=None):
         """Global BA through the device-mesh Schur solver
         (parallel/dist_ba.py): landmark slabs sharded over the mesh, the
-        reduced camera system psum'd and solved replicated."""
+        reduced camera system psum'd and solved replicated. Sized to the
+        WHOLE problem — every valid keyframe/point/edge participates
+        (capacities are computed from the problem, not configured; shapes
+        are padded to powers of two to bound the compile count)."""
         from ..parallel import dist_ba as DBA
 
-        cfg = self.cfg
-        kf_cap = kf_cap or cfg.ba_kf_cap
-        mp_cap = mp_cap or cfg.ba_mp_cap
-        edge_cap = edge_cap or cfg.ba_edge_cap
+        mesh = self.mesh if self.mesh is not None else self._default_mesh()
         with self.lock:
             store = self.store
+            big0 = store.big_change_idx
             kf_ids, mp_ids, kf_e, slot_e, mp_e = self._gather_edges(
-                kf_ids, mp_ids=None, kf_cap=kf_cap, mp_cap=mp_cap,
-                edge_cap=edge_cap)
+                kf_ids, mp_ids=None, kf_cap=None, mp_cap=None, edge_cap=None)
             if len(kf_e) == 0:
                 return None
             K = len(kf_ids)
+            M = len(mp_ids)
             kf_loc = np.zeros(store.k_max, np.int32)
             kf_loc[kf_ids] = np.arange(K)
             mp_loc = np.zeros(store.m_max, np.int32)
-            mp_loc[mp_ids] = np.arange(len(mp_ids))
+            mp_loc[mp_ids] = np.arange(M)
             fixed = np.asarray([int(i) in fixed_ids for i in kf_ids])
             uv = store.kf_xy[kf_e, slot_e]
             inv_s2 = 1.0 / (1.2 ** (2.0 * store.kf_octave[kf_e, slot_e]))
-            D = len(self.mesh.devices.ravel())
-            Ml = -(-len(mp_ids) // D)
-            El = -(-len(kf_e) // D) * 2  # slack for uneven buckets
+            D = len(mesh.devices.ravel())
+            # exact per-device capacities: round-robin landmark ownership,
+            # so device d holds edges of landmarks with (local_id % D) == d.
+            # Padding to powers of two bounds recompiles as the map grows.
+            Ml = 1 << max(4, int(-(-M // D) - 1).bit_length())
+            per_dev = np.bincount(mp_loc[mp_e] % D, minlength=D)
+            El = 1 << max(6, int(per_dev.max() - 1).bit_length())
+            # pad the camera axis too (padding cameras are fixed identity
+            # poses no edge references)
+            Kp = 1 << max(3, int(K - 1).bit_length())
+            R_pad = np.tile(np.eye(3, dtype=np.float32), (Kp, 1, 1))
+            t_pad = np.zeros((Kp, 3), np.float32)
+            f_pad = np.ones(Kp, bool)
+            R_pad[:K] = store.kf_R[kf_ids]
+            t_pad[:K] = store.kf_t[kf_ids]
+            f_pad[:K] = fixed
             prob, _ = DBA.partition_edges(
-                D, K, Ml, El, store.kf_R[kf_ids], store.kf_t[kf_ids], fixed,
+                D, Kp, Ml, El, R_pad, t_pad, f_pad,
                 store.mp_pos[mp_ids], kf_loc[kf_e], mp_loc[mp_e], uv,
                 inv_s2.astype(np.float32), np.ones(len(kf_e), bool))
+            assert int(np.asarray(prob.valid).sum()) == len(kf_e), \
+                "partition_edges dropped edges despite exact sizing"
         out, _, costs = DBA.dist_bundle_adjust(
-            self.cam.kind, self.cam.params, prob, self.mesh, rounds=rounds)
+            self.cam.kind, self.cam.params, prob, mesh, rounds=rounds,
+            should_abort=should_abort)
         with self.lock:
+            if should_abort is not None and should_abort():
+                return None  # mbStopGBA: discard (LoopClosing.cc:1339-1374)
+            if store.big_change_idx != big0:
+                return None  # whole map moved under the solve; stale
             free = ~fixed & store.kf_valid[kf_ids]
-            store.kf_R[kf_ids[free]] = np.asarray(out.poses_R)[free]
-            store.kf_t[kf_ids[free]] = np.asarray(out.poses_t)[free]
+            store.kf_R[kf_ids[free]] = np.asarray(out.poses_R)[:K][free]
+            store.kf_t[kf_ids[free]] = np.asarray(out.poses_t)[:K][free]
             # unshard the landmark slabs (round-robin ownership)
             pts = np.asarray(out.points)  # (D, Ml, 3)
-            M = len(mp_ids)
             owner = np.arange(M) % pts.shape[0]
             local = np.arange(M) // pts.shape[0]
             alive = store.mp_valid[mp_ids] & (local < pts.shape[1])
@@ -583,16 +632,20 @@ class LocalMapper:
             store.remove_points(orphans)
 
     def _run_ba(self, kf_ids, fixed_ids, rounds, mp_ids=None, kf_cap=None,
-                mp_cap=None, edge_cap=None):
+                mp_cap=None, edge_cap=None, should_abort=None):
         """Build a fixed-capacity BAProblem from the store, solve, write back,
         and detach outlier observations. The device solve runs outside the
-        map lock (see slam/pipeline.py) so async tracking overlaps it."""
+        map lock (see slam/pipeline.py) so async tracking overlaps it.
+        A solve that raced a whole-map move (loop correction / GBA
+        propagation / rescale — store.big_change_idx) is stale and
+        discarded without write-back."""
         cfg = self.cfg
         kf_cap = kf_cap or cfg.ba_kf_cap
         mp_cap = mp_cap or cfg.ba_mp_cap
         edge_cap = edge_cap or cfg.ba_edge_cap
         with self.lock:
             store = self.store
+            big0 = store.big_change_idx
             kf_ids, mp_ids, kf_e, slot_e, mp_e = self._gather_edges(
                 kf_ids, mp_ids, kf_cap, mp_cap, edge_cap)
             if len(kf_e) == 0:
@@ -620,11 +673,16 @@ class LocalMapper:
                 valid=jnp.asarray(valid),
                 z_meas=jnp.asarray(z_meas), wz=jnp.asarray(wz),
             )
-        out = ba.bundle_adjust(self.cam.kind, self.cam.params, prob, rounds=rounds)
+        out = ba.bundle_adjust(self.cam.kind, self.cam.params, prob,
+                               rounds=rounds, should_abort=should_abort)
         out = jax.tree.map(np.asarray, out)  # device sync outside the lock
 
         # ---- write back ------------------------------------------------
         with self.lock:
+            if should_abort is not None and should_abort():
+                return None  # mbStopGBA: discard
+            if store.big_change_idx != big0:
+                return None  # whole map moved under the solve; stale
             R_new = out.poses_R[: len(kf_ids)]
             t_new = out.poses_t[: len(kf_ids)]
             free = ~fixed[: len(kf_ids)] & store.kf_valid[kf_ids]
@@ -707,6 +765,7 @@ class LocalMapper:
         cfg = self.cfg
         self.lock.acquire()
         try:
+            big0 = store.big_change_idx
             built = self._build_inertial_problem(
                 opt_ids, fixed_ids, vim, mp_ids, kf_cap, prior_g, prior_a)
         finally:
@@ -717,6 +776,8 @@ class LocalMapper:
         out = vi_ba.vi_bundle_adjust(self.cam.kind, self.cam.params, prob,
                                      rounds=rounds)
         with self.lock:
+            if store.big_change_idx != big0:
+                return None  # whole map moved under the solve; stale
             return self._write_back_inertial(out, kf_ids, mp_ids, fixed,
                                              fix_pose_only, vim, kf_e,
                                              slot_e, n_e)

@@ -83,6 +83,9 @@ class LoopCloser:
         self._np_rng = np.random.default_rng(rng_seed)
         from .pipeline import NULL_LOCK
         self.lock = NULL_LOCK  # map lock (shared RLock in async mode)
+        # detached GBA thread (pipeline.GBAWorker) in async mode; None ->
+        # global BA runs inline (synchronous pipeline / tests)
+        self.gba_worker = None
         self.consistent_hits = 0
         self.last_candidate = -1
         self.stats = {"detected": 0, "corrected": 0, "checked": 0, "merged": 0}
@@ -331,19 +334,33 @@ class LoopCloser:
         self._essential_graph(kf_ids, pre_R, pre_t, k, cand,
                               (R_cm, t_cm, s_cm), window)
         store.loop_edges.append((int(cand), int(k)))
+        # the correction IS a whole-map move: concurrent solves built on
+        # pre-correction geometry must discard (store.big_change_idx)
+        store.bump_change()
 
         # ---- global BA (:2408; FullInertialBA(7) for inertial maps) -----
+        # In async mode the solve runs DETACHED on the GBAWorker (the
+        # reference's transient GBA thread, LoopClosing.cc:1123-1374): the
+        # tracker is only blocked for the Sim3 correction above, never for
+        # the global solve; a newer loop aborts an in-flight solve.
         if cfg.run_gba and self.mapper is not None:
             if store.imu_initialized and self.mapper.vim is not None:
-                self.mapper.full_inertial_ba(self.mapper.vim,
-                                             rounds=((3, True), (4, False)))
+                if self.gba_worker is not None:
+                    self.gba_worker.request(
+                        "inertial", rounds=((3, True), (4, False)))
+                else:
+                    self.mapper.full_inertial_ba(
+                        self.mapper.vim, rounds=((3, True), (4, False)))
             else:
-                self.mapper.run_global_ba(
+                kwargs = dict(
                     fixed_ids=[int(cand)], rounds=cfg.gba_rounds,
                     kf_cap=cfg.gba_kf_cap, mp_cap=cfg.gba_mp_cap,
                     edge_cap=cfg.gba_edge_cap,
                 )
-        store.bump_change()
+                if self.gba_worker is not None:
+                    self.gba_worker.request("visual", **kwargs)
+                else:
+                    self.mapper.run_global_ba(**kwargs)
         self.stats["corrected"] += 1
         self.last_loop = (int(k), int(cand))
 

@@ -95,6 +95,12 @@ class MapStore:
         # the last frame (chooses LastFrame vs LastKeyFrame VI anchoring,
         # Tracking.cc mbMapUpdated)
         self.map_change_idx = 0
+        # whole-map moves only (loop correction, GBA propagation, inertial
+        # rescale): a concurrent solve built BEFORE such a move is stale
+        # and must discard its write-back (the reference pauses
+        # LocalMapping around these, LoopClosing.cc:1115-1133; here the
+        # solve threads self-check this counter instead)
+        self.big_change_idx = 0
         # dirty tracking for the tracker's device-resident map mirror
         # (slam/fused.DeviceMap): row-level marks for point insert/update,
         # the all-dirty flag for whole-map moves (BA, loop, rescale)
@@ -103,10 +109,12 @@ class MapStore:
 
     def bump_change(self, dirty_points: bool = True):
         """Signal a geometry write-back. dirty_points=False when the writer
-        already row-marked exactly the points it touched."""
+        already row-marked exactly the points it touched (incremental
+        change); True marks a whole-map move."""
         self.map_change_idx += 1
         if dirty_points:
             self._mp_dirty_all = True
+            self.big_change_idx += 1
 
     def mark_points_dirty(self, ids):
         """Row-level dirty marks for the device map mirror."""

@@ -93,6 +93,87 @@ class MappingWorker:
                 self.q.task_done()
 
 
+class GBAWorker:
+    """Detached, abortable global bundle adjustment — the reference's
+    transient GBA thread (LoopClosing::RunGlobalBundleAdjustment,
+    /root/reference/src/LoopClosing.cc:1123-1133, 1339-1374: mbRunningGBA,
+    mbStopGBA, mnFullBAIdx).
+
+    The loop closer submits a request after the (fast) Sim3 correction and
+    returns immediately; the solve runs here, off both the tracking and the
+    mapping threads. A NEW loop closing while a solve is in flight aborts
+    it (the stale solve is discarded — its rounds were linearized on pre-
+    correction geometry). Keyframes born during the solve are handled by
+    run_global_ba's propagation (LoopClosing.cc:2440-2540)."""
+
+    def __init__(self, mapper):
+        self.mapper = mapper
+        self.q: queue.Queue = queue.Queue()
+        self._abort = threading.Event()
+        self.full_ba_idx = 0      # completed solves (mnFullBAIdx)
+        self.aborted = 0
+        self.exc = None
+        self._thread = threading.Thread(
+            target=self._run, name="hfnet-gba", daemon=True)
+        self._thread.start()
+
+    def request(self, kind: str, **kw):
+        """Queue a global solve ('visual' -> run_global_ba kwargs,
+        'inertial' -> full_inertial_ba kwargs), aborting any in-flight one
+        and superseding any still-queued one (CorrectLoop's
+        mbStopGBA = true, LoopClosing.cc:1123)."""
+        self.abort_inflight()
+        stop_seen = False
+        try:
+            while True:  # a queued-but-unstarted solve is superseded
+                stop_seen |= self.q.get_nowait() is None
+                self.q.task_done()
+        except queue.Empty:
+            pass
+        self.q.put((kind, kw))
+        if stop_seen:  # never eat the stop sentinel
+            self.q.put(None)
+
+    def abort_inflight(self):
+        self._abort.set()
+
+    def drain(self):
+        """Block until the queue is empty and the current solve finished;
+        re-raise a worker exception if one occurred."""
+        self.q.join()
+        if self.exc is not None:
+            exc, self.exc = self.exc, None
+            raise exc
+
+    def stop(self):
+        self.abort_inflight()
+        self.q.put(None)
+        self._thread.join(timeout=60)
+
+    def _run(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                self.q.task_done()
+                return
+            kind, kw = item
+            self._abort.clear()
+            aborted = self._abort.is_set  # fresh closure per request
+            try:
+                if kind == "inertial":
+                    self.mapper.full_inertial_ba(self.mapper.vim, **kw)
+                else:
+                    self.mapper.run_global_ba(should_abort=aborted, **kw)
+                if aborted():
+                    self.aborted += 1
+                else:
+                    self.full_ba_idx += 1
+            except Exception as e:  # surfaced on the next drain()
+                self.exc = e
+            finally:
+                self.q.task_done()
+
+
 class _NullLock:
     """No-op lock for the synchronous pipeline (zero overhead, and makes
     `with self.lock:` uniform across sync/async code paths)."""

@@ -94,8 +94,9 @@ class SLAMSystem:
         self._traj_mark = 0
         self.viewer = None  # optional utils.viewer.LiveViewer
         self.worker = None
+        self.gba_worker = None
         if c.async_mapping and self.vi is None:
-            from .pipeline import MappingWorker
+            from .pipeline import GBAWorker, MappingWorker
 
             self.worker = MappingWorker(self)
             self.tracker.worker = self.worker
@@ -103,6 +104,11 @@ class SLAMSystem:
             self.mapper.lock = self.worker.map_lock
             if self.loop_closer is not None:
                 self.loop_closer.lock = self.worker.map_lock
+                # detached, abortable global BA (the reference's transient
+                # GBA thread): loop corrections return immediately and the
+                # solve overlaps tracking + mapping
+                self.gba_worker = GBAWorker(self.mapper)
+                self.loop_closer.gba_worker = self.gba_worker
 
     @property
     def store(self) -> MapStore:
@@ -170,16 +176,21 @@ class SLAMSystem:
             self.tracker.localization_only = False
 
     def finish(self):
-        """Drain the async mapping queue (no-op in sync mode). Call before
-        reading final map state or saving trajectories."""
+        """Drain the async mapping + GBA queues (no-op in sync mode). Call
+        before reading final map state or saving trajectories."""
         if self.worker is not None:
             self.worker.drain()
+        if self.gba_worker is not None:
+            self.gba_worker.drain()
 
     def shutdown(self):
-        """System::Shutdown analogue: drain and stop the worker thread."""
+        """System::Shutdown analogue: drain and stop the worker threads."""
         if self.worker is not None:
             self.worker.drain()
             self.worker.stop()
+        if self.gba_worker is not None:
+            self.gba_worker.drain()
+            self.gba_worker.stop()
 
     def track_features(self, feats, timestamp: float, depth=None, imu=None):
         """Feed pre-extracted features (testing / offline pipelines)."""

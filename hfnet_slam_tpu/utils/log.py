@@ -46,8 +46,10 @@ def set_level(level) -> None:
     if isinstance(level, str):
         level = _NAMES[level.lower()]
     _threshold = int(level)
-    logger.setLevel(_PY_LEVEL.get(_threshold, logging.CRITICAL + 1)
-                    if _threshold > QUIET else logging.CRITICAL + 1)
+    # warnings (warn()) always pass, whatever the reference-level threshold
+    logger.setLevel(min(logging.WARNING,
+                        _PY_LEVEL.get(_threshold, logging.CRITICAL + 1)
+                        if _threshold > QUIET else logging.CRITICAL + 1))
 
 
 def get_level() -> int:
@@ -59,6 +61,12 @@ def print_mess(msg: str, level: int = NORMAL) -> None:
     (Verbose::PrintMess semantics)."""
     if level <= _threshold and level > QUIET:
         logger.log(_PY_LEVEL.get(level, logging.INFO), msg)
+
+
+def warn(msg: str) -> None:
+    """Unconditional warning — bypasses the QUIET threshold. For conditions
+    that silently degrade results (dropped BA edges, capacity overflows)."""
+    logger.log(logging.WARNING, msg)
 
 
 set_level(QUIET)
