@@ -444,6 +444,7 @@ class LocalMapper:
         from ..parallel import dist_ba as DBA
 
         mesh = self.mesh if self.mesh is not None else self._default_mesh()
+        self.stats["dist_gba"] = self.stats.get("dist_gba", 0) + 1
         with self.lock:
             store = self.store
             big0 = store.big_change_idx

@@ -86,6 +86,14 @@ class MappingWorker:
                                 # its motion model (Tracking does the same
                                 # after CorrectLoop)
                                 sys_.tracker.velocity = None
+                    if sys_.vi is not None:
+                        # staged IMU initialization on the worker
+                        # (LocalMapping.cc:200-275 runs it on the mapping
+                        # thread too). Holds the map lock: the rescale is
+                        # a whole-map move the tracker must not interleave
+                        with self.map_lock:
+                            ts = float(store.kf_timestamp[k])
+                            sys_.vi.maybe_initialize(ts)
                 self.processed += 1
             except Exception as e:  # surfaced on the next drain()
                 self.exc = e

@@ -38,9 +38,11 @@ class SystemConfig:
     gdesc_dim: int = 4096
     loop_closing: bool = True  # the reference's `loopClosing: 1` toggle
     # async mapping/loop pipeline (the reference's thread trio,
-    # System.cc:137-183; slam/pipeline.py). Visual-inertial mode stays
-    # synchronous: the staged IMU init rescales the whole map mid-stream,
-    # which the tracker must observe immediately.
+    # System.cc:137-183; slam/pipeline.py). Works in visual-inertial mode
+    # too: the staged IMU init runs on the worker; its whole-map rescale
+    # is observed by the tracker through store.big_change_idx (it resets
+    # the motion model and re-anchors VI tracking on the last keyframe's
+    # corrected state).
     async_mapping: bool = False
     # stereo rig (Settings: Stereo.b / depth gates)
     baseline: float = 0.0      # metres; 0 = no stereo rig
@@ -95,7 +97,7 @@ class SLAMSystem:
         self.viewer = None  # optional utils.viewer.LiveViewer
         self.worker = None
         self.gba_worker = None
-        if c.async_mapping and self.vi is None:
+        if c.async_mapping:
             from .pipeline import GBAWorker, MappingWorker
 
             self.worker = MappingWorker(self)

@@ -94,6 +94,9 @@ class TrackerConfig:
     # median parallax of the reconstructed points must clear this, or init
     # waits for more baseline (a garbage low-parallax map poisons tracking)
     min_init_med_parallax_deg: float = 1.5
+    # marginalized LastFrame prior chain (ConstraintPoseImu,
+    # Optimizer.cc:2960/4875); off -> the previous frame is hard-fixed
+    vi_marg_prior: bool = True
 
 
 @dataclasses.dataclass
@@ -165,6 +168,10 @@ class Tracker:
         self._vi_state = None          # (R_wb, p_wb, v, bg, ba)
         self._cur_imu_block = None     # raw rows for the current frame
         self._seen_change = -1
+        # marginalized 15x15 prior carried between LastFrame VI solves
+        # (ConstraintPoseImu, Optimizer.cc:2960/4875); reset on map moves
+        self._vi_prior = None
+        self._seen_big = -1
         self.state = NOT_INITIALIZED
         self.last_frame: Optional[Frame] = None
         self.init_ref: Optional[Frame] = None
@@ -215,7 +222,9 @@ class Tracker:
         self._imu_since_kf = []
         self._last_kf = -1
         self._vi_state = None
+        self._vi_prior = None
         self._seen_change = -1
+        self._seen_big = -1
         self._local_ids = None
         if self.vi is not None:
             self.vi.store = store
@@ -235,6 +244,19 @@ class Tracker:
             return self._track(feats, timestamp, depth, imu)
 
     def _track(self, feats, timestamp, depth=None, imu=None):
+        # whole-map moves by the async workers (loop correction, GBA
+        # propagation, inertial rescale/gravity alignment) invalidate the
+        # tracker's frame-to-frame state: motion model, LastFrame VI
+        # anchor, marginal prior. VI re-anchors on the last keyframe's
+        # (corrected) state; visual-only falls back to the last pose with
+        # a widened search (the fused tracker's retry window).
+        big = self.store.big_change_idx
+        if big != self._seen_big:
+            if self._seen_big >= 0:
+                self.velocity = None
+                self._vi_state = None
+                self._vi_prior = None
+            self._seen_big = big
         if depth is not None:
             depth = np.asarray(depth)
             if self.cfg.th_far > 0:  # System.thFarPoints (Settings.h)
@@ -283,10 +305,43 @@ class Tracker:
                     self._create_keyframe(frame)
                 self.last_frame = frame
         elif self.state == RECENTLY_LOST:
-            # keep trying Relocalization inside the window (Tracking.cc:
-            # 1285-1316; visual-only path — IMU prediction comes with the
-            # inertial frontend)
-            if self._relocalize(frame):
+            if self._vi_active():
+                # IMU prediction rides out short visual dropouts
+                # (Tracking.cc:1285-1316): the state dead-reckons from the
+                # last keyframe's chain; each frame attempts visual
+                # re-acquisition from the predicted pose, and the window is
+                # time-boxed before declaring LOST.
+                recovered = False
+                if (self.last_frame is not None
+                        and self.last_frame.obs is not None):
+                    recovered = self._track_frame(frame)
+                    if recovered:
+                        self._track_local_map(frame)
+                        # a marginal recovery must NOT re-anchor the state:
+                        # a keyframe created from a barely-passing pose
+                        # poisons the IMU chain and every later prediction
+                        recovered = (frame.R is not None
+                                     and self.n_inliers
+                                     >= self.cfg.min_local_inliers)
+                if recovered:
+                    self.state = OK
+                    self.frames_lost = 0
+                    self.last_frame = frame
+                else:
+                    # emit the IMU dead-reckoned pose (the reference keeps
+                    # publishing the predicted state while RECENTLY_LOST)
+                    R0, t0 = self._predicted_pose()
+                    frame.R, frame.t = R0, t0
+                    frame.obs = np.full(self.store.n_slots, -1, np.int32)
+                    # the LastFrame anchor is stale after a skipped solve;
+                    # force KF anchoring on the next attempt
+                    self._vi_state = None
+                    self.frames_lost += 1
+                    if self.frames_lost > self.cfg.recently_lost_frames:
+                        frame.R = None
+                        frame.t = None
+                        self.state = LOST
+            elif self._relocalize(frame):
                 self.state = OK
                 self._track_local_map(frame)
                 if frame.R is not None:
@@ -320,8 +375,12 @@ class Tracker:
         return e
 
     def _on_tracking_failure(self):
-        """OK -> RECENTLY_LOST (mature map) or LOST (Tracking.cc:1263-1336)."""
-        if self.store.kf_valid.sum() > self.cfg.mature_map_kfs:
+        """OK -> RECENTLY_LOST (mature map) or LOST (Tracking.cc:1263-1336).
+        An IMU-initialized map always gets the RECENTLY_LOST window: the
+        IMU carries the state through the dropout (Tracking.cc:1285)."""
+        self._vi_prior = None
+        if (self._vi_active()
+                or self.store.kf_valid.sum() > self.cfg.mature_map_kfs):
             self.state = RECENTLY_LOST
             self.frames_lost = 0
         else:
@@ -560,33 +619,71 @@ class Tracker:
 
         store = self.store
         vi = self.vi
-        map_updated = store.map_change_idx != self._seen_change
-        self._seen_change = store.map_change_idx
-        use_last_frame = (
-            not map_updated and self._vi_state is not None
-            and self._cur_imu_block is not None and len(self._cur_imu_block)
-        )
-        if use_last_frame:
-            R1, p1, v1, bg1, ba1 = self._vi_state
-            pre = vi.integrate(self._cur_imu_block, bg1, ba1)
+        # The anchor (previous state + its preintegration) is computed ONCE
+        # per frame and reused by the second (local-map) solve: anchoring
+        # stage 2 on the _vi_state that stage 1 just advanced — and
+        # re-applying the same IMU block — predicts one frame AHEAD, and
+        # the stiff inertial edge then drags the pose ~v*dt off the visual
+        # optimum every frame.
+        if getattr(self, "_anchor_fid", -1) == self.frame_id:
+            R1, p1, v1, bg1, ba1, pre, use_prior = self._frame_anchor
         else:
-            k = self._last_kf
-            pre = self._pre_from_kf()
-            R1, p1 = vi.cam_to_body(store.kf_R[k], store.kf_t[k])
-            v1 = store.kf_vel[k]
-            bg1, ba1 = store.kf_bg[k], store.kf_ba[k]
+            map_updated = store.map_change_idx != self._seen_change
+            self._seen_change = store.map_change_idx
+            use_last_frame = (
+                not map_updated and self._vi_state is not None
+                and self._cur_imu_block is not None
+                and len(self._cur_imu_block)
+            )
+            if use_last_frame:
+                R1, p1, v1, bg1, ba1 = self._vi_state
+                pre = vi.integrate(self._cur_imu_block, bg1, ba1)
+            else:
+                k = self._last_kf
+                pre = self._pre_from_kf()
+                R1, p1 = vi.cam_to_body(store.kf_R[k], store.kf_t[k])
+                v1 = store.kf_vel[k]
+                bg1, ba1 = store.kf_bg[k], store.kf_ba[k]
+            use_prior = (use_last_frame and self._vi_prior is not None
+                         and self.cfg.vi_marg_prior)
+            self._frame_anchor = (R1, p1, v1, bg1, ba1, pre, use_prior)
+            self._anchor_fid = self.frame_id
+            if use_prior:
+                self._frame_anchor_prior = self._vi_prior
         R2, p2 = vi.cam_to_body(R0, t0)
         v2 = frame.v if frame.v is not None else v1
-        res = VIOPT.pose_inertial_optimize(
-            self.cam.kind, self.cam.params,
-            vi.calib.Tbc_R, vi.calib.Tbc_t,
-            jnp.asarray(R1), jnp.asarray(p1), jnp.asarray(v1),
-            jnp.asarray(bg1), jnp.asarray(ba1),
-            pre,
-            jnp.asarray(R2), jnp.asarray(p2), jnp.asarray(v2),
-            jnp.asarray(pts), frame.feats.xy,
-            jnp.asarray(inv_sigma2), jnp.asarray(valid),
-        )
+        if use_prior:
+            # LastFrame with the marginalized prior: both frame states
+            # optimize jointly; the previous one is soft-anchored by the
+            # 15x15 information from its own solve, and marginalizing it
+            # out yields the next prior (ConstraintPoseImu chain,
+            # Optimizer.cc:2960/4875)
+            res = VIOPT.pose_inertial_optimize_marg(
+                self.cam.kind, self.cam.params,
+                vi.calib.Tbc_R, vi.calib.Tbc_t,
+                jnp.asarray(R1), jnp.asarray(p1), jnp.asarray(v1),
+                jnp.asarray(bg1), jnp.asarray(ba1),
+                jnp.asarray(self._frame_anchor_prior),
+                pre,
+                jnp.asarray(R2), jnp.asarray(p2), jnp.asarray(v2),
+                jnp.asarray(pts), frame.feats.xy,
+                jnp.asarray(inv_sigma2), jnp.asarray(valid),
+            )
+            self._vi_prior = np.asarray(res["prior_info_out"])
+        else:
+            res = VIOPT.pose_inertial_optimize(
+                self.cam.kind, self.cam.params,
+                vi.calib.Tbc_R, vi.calib.Tbc_t,
+                jnp.asarray(R1), jnp.asarray(p1), jnp.asarray(v1),
+                jnp.asarray(bg1), jnp.asarray(ba1),
+                pre,
+                jnp.asarray(R2), jnp.asarray(p2), jnp.asarray(v2),
+                jnp.asarray(pts), frame.feats.xy,
+                jnp.asarray(inv_sigma2), jnp.asarray(valid),
+            )
+            # the posterior info of this (KF-anchored) solve seeds the
+            # marginal-prior chain for the LastFrame path
+            self._vi_prior = np.asarray(res["H"])
         frame.R, frame.t = vi.body_to_cam(np.asarray(res["R"]), np.asarray(res["p"]))
         frame.v = np.asarray(res["v"])
         self._vi_state = (np.asarray(res["R"]), np.asarray(res["p"]),
@@ -654,7 +751,12 @@ class Tracker:
         if n < cfg.min_ref_matches:
             return False
         frame.obs = np.where(idx >= 0, kf_obs[np.clip(idx, 0, len(kf_obs) - 1)], -1).astype(np.int32)
-        R0, t0 = self.last_frame.R, self.last_frame.t
+        if self._vi_active():
+            # after a dropout the last frame's pose is stale; the IMU
+            # prediction is the right starting point (Tracking.cc:1285)
+            R0, t0 = self._predicted_pose()
+        else:
+            R0, t0 = self.last_frame.R, self.last_frame.t
         n_in = self._pose_optimize_frame(frame, R0, t0)
         self.n_inliers = n_in
         return n_in >= cfg.min_pose_inliers

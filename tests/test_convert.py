@@ -63,34 +63,55 @@ def _synthetic_ckpt(rng, prefix=""):
     return d
 
 
-def test_full_tree_conversion_shapes():
-    rng = np.random.default_rng(0)
-    params = cvt.convert(_synthetic_ckpt(rng))  # _check_shapes runs inside
+@pytest.fixture(scope="module")
+def ckpt():
+    """ONE synthetic checkpoint shared by the whole module — building the
+    full MobileNet-layout tensor tree (~9 s) and converting it (~13 s) per
+    test dominated the file's runtime (VERDICT r2 item 8)."""
+    return _synthetic_ckpt(np.random.default_rng(0))
+
+
+@pytest.fixture(scope="module")
+def converted(ckpt):
+    return cvt.convert(ckpt)  # _check_shapes runs inside
+
+
+def test_full_tree_conversion_shapes(converted):
+    params = converted
     assert params["vlad_clusters"].shape == (64, 320)
     assert params["blocks"][0].keys() == {"depthwise", "project"}  # expansion 1
     assert "expand" in params["blocks"][1]
 
 
-def test_prefix_robust_and_roundtrip(tmp_path):
-    rng = np.random.default_rng(1)
-    ck = _synthetic_ckpt(rng, prefix="pred/")  # SavedModel-style outer scope
-    np.savez(tmp_path / "src.npz", **ck)
-    params = cvt.convert(cvt.load_source(str(tmp_path / "src.npz")))
-    hfnet.save_params(tmp_path / "out.npz", params)
+def test_prefix_robust_and_roundtrip(tmp_path, ckpt, converted):
+    # SavedModel-style outer scope: same tree re-keyed under "pred/"
+    # (in memory — an npz roundtrip of the ~400 MB source tree added a
+    # minute of pure IO without exercising any more converter logic)
+    ck = {f"pred/{k}": v for k, v in ckpt.items()}
+    params = cvt.convert(ck)
+    np.testing.assert_allclose(np.asarray(params["proj"]["w"]),
+                               np.asarray(converted["proj"]["w"]), rtol=1e-6)
+    # load_source npz mechanics on a small source subset
+    sub_keys = [k for k in ckpt if "dimensionality" not in k][:8]
+    np.savez(tmp_path / "src.npz", **{k: ckpt[k] for k in sub_keys})
+    sub = cvt.load_source(str(tmp_path / "src.npz"))
+    assert set(sub.keys()) == set(sub_keys)
+    np.testing.assert_allclose(sub[sub_keys[0]], ckpt[sub_keys[0]])
+    # save/load roundtrip of the CONVERTED params (the artifact users ship)
+    hfnet.save_params(tmp_path / "out.npz", converted)
     loaded = hfnet.load_params(tmp_path / "out.npz")
     np.testing.assert_allclose(
-        np.asarray(loaded["proj"]["w"]), params["proj"]["w"], rtol=1e-6
-    )
+        np.asarray(loaded["conv0"]["w"]), np.asarray(converted["conv0"]["w"]),
+        rtol=1e-6)
 
 
-def test_bn_folding_matches_explicit_conv_bn():
+def test_bn_folding_matches_explicit_conv_bn(ckpt, converted):
     """Folded (w,b) conv == conv -> batch-norm with the source stats."""
     import jax.numpy as jnp
     from hfnet_slam_tpu.models.hfnet import _conv
 
     rng = np.random.default_rng(2)
-    ck = _synthetic_ckpt(rng)
-    params = cvt.convert(ck)
+    ck, params = ckpt, converted
     x = rng.standard_normal((1, 8, 8, 1)).astype(np.float32)
 
     # explicit: conv (no bias) -> BN inference transform
@@ -109,15 +130,14 @@ def test_bn_folding_matches_explicit_conv_bn():
     np.testing.assert_allclose(y_folded, y_ref, rtol=2e-4, atol=2e-5)
 
 
-def test_depthwise_transpose_numerics():
+def test_depthwise_transpose_numerics(ckpt, converted):
     """TF depthwise (H,W,C,1) -> grouped HWIO (H,W,1,C): per-channel conv
     must match a manual per-channel correlation."""
     import jax.numpy as jnp
     from hfnet_slam_tpu.models.hfnet import _conv
 
     rng = np.random.default_rng(3)
-    ck = _synthetic_ckpt(rng)
-    params = cvt.convert(ck)
+    ck, params = ckpt, converted
     blk = params["blocks"][0]["depthwise"]  # 32-channel depthwise, stride 1
     w_tf = ck["MobilenetV2/expanded_conv/depthwise/depthwise_weights"]  # (3,3,32,1)
     x = rng.standard_normal((1, 6, 6, 32)).astype(np.float32)
@@ -135,9 +155,8 @@ def test_depthwise_transpose_numerics():
     np.testing.assert_allclose(y[0, :, :, c], man, rtol=1e-4, atol=1e-5)
 
 
-def test_ambiguous_suffix_raises():
-    rng = np.random.default_rng(4)
-    ck = _synthetic_ckpt(rng)
+def test_ambiguous_suffix_raises(ckpt):
+    ck = dict(ckpt)
     ck["other/MobilenetV2/Conv/weights"] = ck["MobilenetV2/Conv/weights"]
     with pytest.raises(KeyError):
         cvt.convert(ck)
