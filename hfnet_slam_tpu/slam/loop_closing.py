@@ -88,7 +88,13 @@ class LoopCloser:
         self.gba_worker = None
         self.consistent_hits = 0
         self.last_candidate = -1
-        self.stats = {"detected": 0, "corrected": 0, "checked": 0, "merged": 0}
+        # temporal Sim3 state (DetectAndReffineSim3FromLastKF,
+        # LoopClosing.cc:378-467,547): after a first candidate hit, the
+        # NEXT keyframes re-verify by propagating the previous Sim3 through
+        # the relative pose and guided projection — no fresh retrieval
+        self._pending = None  # dict(cand, S_cw, last_kf, loop_mps, miss)
+        self.stats = {"detected": 0, "corrected": 0, "checked": 0,
+                      "merged": 0, "refined": 0}
         self.last_loop = None  # (kf, cand) of the last corrected loop
 
     # ------------------------------------------------------------------
@@ -113,6 +119,25 @@ class LoopCloser:
             # stored map (the recovery path after relocalization fails)
             return self._try_merge(k)
 
+        # temporal refinement of the previous candidate: re-verify by
+        # guided projection under the relative-pose-propagated Sim3 BEFORE
+        # paying for fresh retrieval (DetectAndReffineSim3FromLastKF,
+        # LoopClosing.cc:378-467). Two consecutive misses reset the state.
+        if self._pending is not None and self.consistent_hits > 0:
+            hit = self._refine_from_last_kf(k)
+            if hit is not None:
+                self.stats["refined"] += 1
+                self.consistent_hits += 1
+                cand = self._pending["cand"]
+                if self.consistent_hits >= self.cfg.consistency_hits:
+                    return self._confirm_and_correct(k, cand, hit)
+                return False
+            self._pending["miss"] += 1
+            if self._pending["miss"] >= 2:
+                self._reset_pending()
+            # fall through to fresh retrieval (the reference queries the
+            # database again when the refine path found nothing)
+
         exclude = set(int(j) for j in store.covisible_kfs(k, n=64, min_weight=1))
         exclude.add(int(k))
         cands = retrieval.detect_n_best_candidates(
@@ -129,20 +154,149 @@ class LoopCloser:
             else:
                 self.consistent_hits = 1
             self.last_candidate = cand
+            self._remember_pending(k, cand, *hit)
             if self.consistent_hits >= self.cfg.consistency_hits:
-                if store.imu_initialized:
-                    hit = self._gravity_gate(k, cand, *hit)
-                    if hit is None:  # BAD LOOP (LoopClosing.cc:262)
-                        self.consistent_hits = 0
-                        self.last_candidate = -1
-                        return False
-                self.stats["detected"] += 1
-                self._correct_loop(k, cand, *hit)
-                self.consistent_hits = 0
-                self.last_candidate = -1
-                return True
+                return self._confirm_and_correct(k, cand, hit)
             return False
         return self._try_merge(k)
+
+    def _confirm_and_correct(self, k, cand, hit) -> bool:
+        store = self.store
+        if store.imu_initialized:
+            hit = self._gravity_gate(k, cand, *hit)
+            if hit is None:  # BAD LOOP (LoopClosing.cc:262)
+                self._reset_pending()
+                return False
+        self.stats["detected"] += 1
+        self._correct_loop(k, cand, *hit)
+        self._reset_pending()
+        return True
+
+    def _reset_pending(self):
+        self.consistent_hits = 0
+        self.last_candidate = -1
+        self._pending = None
+
+    def _remember_pending(self, k, cand, R_cm, t_cm, s_cm, loop_mps):
+        """Store the candidate's world Sim3 S_cw = S_cm o T_mw for the
+        temporal refinement of the NEXT keyframe."""
+        store = self.store
+        Rc, tc = store.kf_R[cand], store.kf_t[cand]
+        self._pending = {
+            "cand": int(cand),
+            "R_cw": R_cm @ Rc,
+            "t_cw": s_cm * (R_cm @ tc) + t_cm,
+            "s_cw": float(s_cm),
+            "last_kf": int(k),
+            "loop_mps": np.asarray(loop_mps),
+            "miss": 0,
+        }
+
+    def _refine_from_last_kf(self, k: int):
+        """Propagate the pending Sim3 to keyframe k via the relative pose
+        T_kl (scale 1), re-verify by guided projection, refine with
+        OptimizeSim3 on the co-observed pairs, and re-verify again
+        (DetectAndReffineSim3FromLastKF, LoopClosing.cc:547-590; gates
+        nProjMatches=30 / nProjOptMatches=50 / nProjMatchesRep=100, scaled
+        here from cfg.min_proj_matches like the detection gates).
+        Returns (R_cm, t_cm, s_cm, loop_mps) or None."""
+        store = self.store
+        cfg = self.cfg
+        pend = self._pending
+        last, cand = pend["last_kf"], pend["cand"]
+        if not (store.kf_valid[last] and store.kf_valid[cand]
+                and store.kf_valid[k]):
+            return None
+        # S_cw = T_kl o S_lw (T_kl from CURRENT poses, scale 1)
+        Rl, tl = store.kf_R[last], store.kf_t[last]
+        R_kl = store.kf_R[k] @ Rl.T
+        t_kl = store.kf_t[k] - R_kl @ tl
+        R_cw = R_kl @ pend["R_cw"]
+        t_cw = R_kl @ pend["t_cw"] + t_kl
+        s_cw = pend["s_cw"]
+
+        loop_mps = pend["loop_mps"]
+        loop_mps = loop_mps[store.mp_valid[loop_mps]]
+        n_gate = max(int(0.6 * cfg.min_proj_matches), 5)
+        if len(loop_mps) < n_gate:
+            return None
+        wcap = cfg.window_mp_cap
+        loop_mps = loop_mps[:wcap]
+        pos = np.zeros((wcap, 3), np.float32)
+        desc = np.zeros((wcap, store.desc_dim), np.float32)
+        mvalid = np.zeros(wcap, bool)
+        pos[: len(loop_mps)] = store.mp_pos[loop_mps]
+        desc[: len(loop_mps)] = store.mp_desc[loop_mps]
+        mvalid[: len(loop_mps)] = True
+
+        def project_count(Rp, tp, sp):
+            idx, _, _ = search.search_by_projection(
+                self.cam.kind, self.cam.params,
+                (self.cam.width, self.cam.height),
+                jnp.asarray(Rp * sp), jnp.asarray(tp),
+                jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(mvalid),
+                jnp.asarray(store.kf_xy[k]), jnp.asarray(store.kf_desc[k]),
+                jnp.asarray(store.kf_octave[k]), jnp.asarray(store.kf_mask[k]),
+                radius=cfg.proj_radius, max_dist=0.75,
+            )
+            return np.asarray(idx)
+
+        idx = project_count(R_cw, t_cw, s_cw)
+        slots = np.nonzero(idx >= 0)[0]
+        if len(slots) < n_gate:
+            return None
+
+        # refine S via the slots that carry their own map point (3D-3D
+        # pairs, like the detection stage) — OptimizeSim3 analogue
+        own = store.kf_obs[k][slots]
+        sel = own >= 0
+        sel &= store.mp_valid[np.clip(own, 0, store.m_max - 1)]
+        s_ref, mp_a = slots[sel], own[sel]
+        mp_b = loop_mps[idx[s_ref]]
+        # convert to candidate-relative S_cm = S_cw o T_mw^{-1}
+        Rc, tc = store.kf_R[cand], store.kf_t[cand]
+        R_cm = R_cw @ Rc.T
+        t_cm = t_cw - s_cw * (R_cm @ tc)
+        s_cm = s_cw
+        if len(s_ref) >= max(cfg.min_sim3_inliers // 2, 5):
+            Rk, tk = store.kf_R[k], store.kf_t[k]
+            p1 = store.mp_pos[mp_a] @ Rk.T + tk
+            p2 = store.mp_pos[mp_b] @ Rc.T + tc
+            uv1 = store.kf_xy[k][s_ref]
+            uv2 = np.asarray(self.cam.project(jnp.asarray(p2)))
+            s2_1 = (1.2 ** (2.0 * store.kf_octave[k][s_ref])).astype(np.float32)
+            cap = cfg.pair_cap
+            n = min(len(s_ref), cap)
+            P1 = np.zeros((cap, 3), np.float32); P1[:n] = p1[:n]
+            P2 = np.zeros((cap, 3), np.float32); P2[:n] = p2[:n]
+            U1 = np.zeros((cap, 2), np.float32); U1[:n] = uv1[:n]
+            U2 = np.zeros((cap, 2), np.float32); U2[:n] = uv2[:n]
+            IS1 = np.ones(cap, np.float32); IS1[:n] = 1.0 / s2_1[:n]
+            val = np.zeros(cap, bool); val[:n] = True
+            opt = sim3_mod.optimize_sim3(
+                self.cam.kind, self.cam.params,
+                jnp.asarray(R_cm), jnp.asarray(t_cm), jnp.asarray(s_cm),
+                jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(U1),
+                jnp.asarray(U2), jnp.asarray(IS1), jnp.asarray(IS1),
+                jnp.asarray(val), fix_scale=cfg.fix_scale,
+            )
+            if int(opt["n_inliers"]) >= max(cfg.min_sim3_inliers // 2, 5):
+                R_cm = np.asarray(opt["R12"])
+                t_cm = np.asarray(opt["t12"])
+                s_cm = float(opt["s12"])
+                R_cw = R_cm @ Rc
+                t_cw = s_cm * (R_cm @ tc) + t_cm
+                s_cw = s_cm
+
+        # final re-verification at the refined Sim3 (nProjMatchesRep)
+        idx2 = project_count(R_cw, t_cw, s_cw)
+        n2 = int((idx2 >= 0).sum())
+        if n2 < cfg.min_proj_matches:
+            return None
+        # roll the pending state forward
+        pend.update(R_cw=R_cw, t_cw=t_cw, s_cw=float(s_cw),
+                    last_kf=int(k), miss=0)
+        return R_cm, t_cm, s_cm, pend["loop_mps"]
 
     def _gravity_gate(self, k, cand, R_cm, t_cm, s_cm, loop_mps):
         """Inertial loops must not bend the horizon: the world-frame

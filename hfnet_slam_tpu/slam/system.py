@@ -347,8 +347,7 @@ class SLAMSystem:
         self.tracker.store = store
         if self.loop_closer is not None:
             self.loop_closer.store = store
-            self.loop_closer.consistent_hits = 0
-            self.loop_closer.last_candidate = -1
+            self.loop_closer._reset_pending()
         if self.vi is not None:
             self.vi.store = store
 

@@ -545,3 +545,59 @@ class TestGravityGate:
         phi = np.asarray(lie.so3_log(jnp.asarray(
             store.kf_R[1].T @ (R_cm @ store.kf_R[0]))))
         assert abs(phi[0]) < 1e-6 and abs(phi[1]) < 1e-6  # pure yaw kept
+
+
+def test_temporal_sim3_refinement_confirms_loop():
+    """With the reference's 3-consecutive-KF consistency requirement, the
+    2nd and 3rd confirmations must come from the temporal Sim3 refinement
+    (DetectAndReffineSim3FromLastKF, LoopClosing.cc:378-467,547) — guided
+    projection under the propagated Sim3 — NOT from fresh retrieval, and
+    the loop must still close."""
+    from hfnet_slam_tpu.models.fake import FakeExtractor
+    from hfnet_slam_tpu.models.fake import SyntheticWorld as SW
+    from hfnet_slam_tpu.slam.local_mapping import MapperConfig
+    from hfnet_slam_tpu.slam.loop_closing import LoopCloserConfig
+    from hfnet_slam_tpu.slam.system import SLAMSystem, SystemConfig
+    from hfnet_slam_tpu.slam.tracking import TrackerConfig
+
+    cam = make_cam()
+    rng = np.random.default_rng(11)
+    n_lm = 4000
+    th = rng.uniform(0, 2 * np.pi, n_lm)
+    rr = rng.uniform(12.0, 20.0, n_lm)
+    pts = np.stack([rr * np.sin(th), rng.uniform(-4.0, 4.0, n_lm),
+                    6.0 - rr * np.cos(th)], 1).astype(np.float32)
+    d = rng.standard_normal((n_lm, 64)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    world = SW(pts, d, rng)
+    ext = FakeExtractor(world, cam, pad_to=512, noise_px=0.3, desc_noise=0.03,
+                        max_landmarks_per_frame=480, seed=7, max_depth=25.0)
+    cfg = SystemConfig(
+        k_max=256, m_max=16384, n_slots=512, desc_dim=64, gdesc_dim=64,
+        tracker=TrackerConfig(local_mp_cap=2048, min_init_med_parallax_deg=1.0),
+        mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=2048, ba_edge_cap=8192,
+                            tri_neighbors=5),
+        loop=LoopCloserConfig(
+            min_pair_matches=30, min_sim3_inliers=15, min_proj_matches=30,
+            consistency_hits=3,  # the reference's gate — forces the
+            n_covis_window=5,    # refinement path for hits 2 and 3
+            window_mp_cap=2048, gba_kf_cap=48, gba_mp_cap=4096,
+            gba_edge_cap=16384, ransac_hyps=256),
+    )
+    sys_ = SLAMSystem(cam, ext, cfg)
+    gt = circle_trajectory(200)
+    est_c, gt_c = [], []
+    for i, (R, t) in enumerate(gt):
+        st, Re, te = sys_.track_features(ext(R, t), 0.05 * i)
+        if Re is not None:
+            est_c.append(-Re.T @ te)
+            gt_c.append(-R.T @ t)
+    lc = sys_.loop_closer
+    assert lc.stats["corrected"] >= 1, f"loop stats: {lc.stats}"
+    assert lc.stats["refined"] >= 2, (
+        f"confirmations 2+3 must come from temporal refinement: {lc.stats}")
+    from hfnet_slam_tpu.evaluation import ate
+
+    err = ate.ate_rmse(np.asarray(est_c), np.asarray(gt_c), with_scale=True)
+    path = np.linalg.norm(np.diff(np.asarray(gt_c), axis=0), axis=1).sum()
+    assert err < 0.05 * path, f"ATE {err:.3f} over {path:.1f} m"
