@@ -262,10 +262,7 @@ class LocalMapper:
             pw = (p1[bi][s_k] - tk[None, :]) @ Rk  # Rk.T @ (p1 - tk)
             d = store.kf_desc[k][s_k] + store.kf_desc[j][s_j]
             d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
-            try:
-                ids = store.add_points(pw, d, first_kf=k)
-            except RuntimeError:
-                break  # capacity full; culling will free slots later
+            ids = store.add_points(pw, d, first_kf=k)  # grows at capacity
             store.assign_observations(k, s_k, ids)
             store.assign_observations(j, s_j, ids)
             self.recent_points.extend((int(i), self.kf_count) for i in ids)

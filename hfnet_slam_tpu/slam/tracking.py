@@ -232,6 +232,9 @@ class Tracker:
             self.vi.kf_meas.clear()
             self.vi.first_kf_ts = None
             self.vi.stage = 0
+            self.vi.bad_imu = False
+            self.vi._dist_filtered = None
+            self.vi._t_moving = 0.0
 
     # ------------------------------------------------------------------
     def track(self, feats, timestamp, depth=None, imu=None):
@@ -257,6 +260,13 @@ class Tracker:
                 self._vi_state = None
                 self._vi_prior = None
             self._seen_big = big
+        if self.vi is not None and self.vi.bad_imu:
+            # the mapper flagged an unrecoverable IMU init ('not enough
+            # motion'): reset the active map (Tracking.cc:1108-1114,
+            # mbBadImu -> ResetActiveMap)
+            self.state = LOST
+            self.frame_id += 1
+            return self.state, None, None
         if depth is not None:
             depth = np.asarray(depth)
             if self.cfg.th_far > 0:  # System.thFarPoints (Settings.h)
@@ -1096,12 +1106,8 @@ class Tracker:
 
     def _create_keyframe(self, frame):
         store = self.store
-        if store.n_kf >= store.k_max and not store._free_kf:
-            # capacity full: skip this keyframe; culling frees slots later
-            # (the reference's map grows unboundedly on the heap — here the
-            # fixed-capacity arrays make the budget explicit)
-            self.frames_since_kf = 0
-            return
+        # capacity growth happens inside add_keyframe (MapStore doubles
+        # itself rather than silently dropping coverage on long sequences)
         k = store.add_keyframe(frame.R, frame.t, frame.feats, frame.timestamp,
                                obs=frame.obs, depth=frame.depth)
         self.ref_kf = k
@@ -1167,9 +1173,6 @@ class Tracker:
         slots = slots[order[: cfg.max_depth_points_per_kf]]
         p_w = self._unproject_depth(frame, slots)
         desc = np.asarray(frame.feats.desc)[slots]
-        try:
-            ids = store.add_points(p_w, desc, first_kf=k)
-        except RuntimeError:
-            return
+        ids = store.add_points(p_w, desc, first_kf=k)  # grows at capacity
         store.assign_observations(k, slots, ids)
         frame.obs[slots] = ids

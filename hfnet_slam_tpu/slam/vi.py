@@ -58,6 +58,12 @@ class VIConfig:
     # correction in imu.delta_* is accurate)
     reint_bg_tol: float = 1e-3
     reint_ba_tol: float = 1e-2
+    # IMU init failure gates (LocalMapping.cc:150-210): a map whose
+    # keyframes barely move cannot observe scale/gravity — flag bad_imu so
+    # Tracking resets the active map (Tracking.cc:1108-1114)
+    min_motion_init: float = 0.03   # inter-KF distance pre-init (:202)
+    min_motion_run: float = 0.02    # filtered distance post-init (:156)
+    motion_window_t: float = 10.0   # the mTinit<10s window (:156)
 
 
 class VIManager:
@@ -77,6 +83,11 @@ class VIManager:
         self.stage = 0  # 0 = visual only, 1 = initialized, 2 = viba1, 3 = viba2
         self.mapper = None  # LocalMapper, set by System — runs FullInertialBA
         self._last_refine_ts: float = None
+        # IMU failure flag (LocalMapping::mbBadImu): set by the motion
+        # gates below; Tracking resets the active map when it sees it
+        self.bad_imu = False
+        self._dist_filtered: float = None
+        self._t_moving = 0.0
 
     # ------------------------------------------------------------------
     # frame-level helpers
@@ -156,11 +167,45 @@ class VIManager:
     # ------------------------------------------------------------------
     # staged initialization (LocalMapping::InitializeIMU analogue)
     # ------------------------------------------------------------------
+    def check_motion_gates(self):
+        """IMU init failure gates (LocalMapping.cc:150-210): pre-init, a
+        new chain pair whose camera centers barely moved means scale is
+        unobservable ('Not enough motion for initializing. Reseting...');
+        post-init (until VIBA2), a low-pass-filtered inter-KF distance
+        below threshold inside the first-10-motion-seconds window flags
+        the same. Sets self.bad_imu; Tracking resets the active map."""
+        store = self.store
+        cfg = self.cfg
+        links = self.chain()
+        if not links:
+            return
+        p, k, _ = links[-1]
+        cp = -store.kf_R[p].T @ store.kf_t[p]
+        ck = -store.kf_R[k].T @ store.kf_t[k]
+        d = float(np.linalg.norm(ck - cp))
+        if self.stage == 0:
+            if (len(links) + 1 >= cfg.min_kfs_for_init
+                    and d < cfg.min_motion_init):
+                self.bad_imu = True
+        elif not store.viba2:
+            self._dist_filtered = (d if self._dist_filtered is None
+                                   else 0.5 * d + 0.5 * self._dist_filtered)
+            if d > 0.05:
+                self._t_moving += float(store.kf_timestamp[k]
+                                        - store.kf_timestamp[p])
+            if (self._t_moving < cfg.motion_window_t
+                    and self._dist_filtered < cfg.min_motion_run):
+                self.bad_imu = True
+                self._dist_filtered = None
+
     def maybe_initialize(self, now_ts: float) -> bool:
         """Try the appropriate stage; returns True when a stage ran."""
         store = self.store
         cfg = self.cfg
         if self.first_kf_ts is None:
+            return False
+        self.check_motion_gates()
+        if self.bad_imu:
             return False
         elapsed = now_ts - self.first_kf_ts
         if self.stage == 0 and elapsed >= cfg.t_init:

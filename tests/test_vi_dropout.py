@@ -163,3 +163,48 @@ def test_marginal_prior_lowers_interkf_error():
     # non-inferiority with a real margin: the chained prior must not hurt,
     # and in this noise regime it should help
     assert errs["prior"] <= errs["fixed"] * 1.05 + 5e-3, errs
+
+
+def test_not_enough_motion_resets_map():
+    """IMU init failure gate (LocalMapping.cc:150-210 + Tracking.cc:
+    1108-1114): a rig that stops moving before scale is trustworthy flags
+    bad_imu; Tracking resets the active map instead of retrying forever
+    on an unobservable problem."""
+    from hfnet_slam_tpu.slam.tracking import NOT_INITIALIZED
+
+    sys_, ext = build_vi_system()
+    t_stop = 2.5  # init fires ~1.7 s; motion stops well before the
+    #               10-moving-seconds excitation window completes
+
+    def pose_h(t):
+        return pose_at(min(t, t_stop))
+
+    def imu_h(t0, t1):
+        rows = []
+        n = int(round((t1 - t0) / IMU_DT))
+        for i in range(1, n + 1):
+            t = t0 + i * IMU_DT
+            h = IMU_DT
+            R, c = pose_h(t)
+            _, c_p = pose_h(t - h)
+            R_n, c_n = pose_h(t + h)
+            a_w = (c_n - 2 * c + c_p) / (h * h)
+            w_b = np.asarray(lie.so3_log(jnp.asarray(R.T @ R_n))) / h
+            rows.append(np.concatenate([R.T @ (a_w - GRAV), w_b, [h]]))
+        return np.asarray(rows, np.float32)
+
+    tripped = False
+    for i in range(70):
+        t = i * FRAME_DT
+        R_wc, c = pose_h(t)
+        R_cw = R_wc.T.astype(np.float32)
+        feats = ext(R_cw, (-R_cw @ c).astype(np.float32))
+        sys_.track_features(feats, t, imu=imu_h(t - FRAME_DT, t) if i > 0
+                            else None)
+        tripped = tripped or sys_.vi.bad_imu \
+            or sys_.tracker.state == NOT_INITIALIZED and i > 30
+    assert tripped, "bad_imu gate never fired on a motion-starved rig"
+    # the reset landed: the active map is fresh (no IMU init carried over)
+    assert not sys_.store.imu_initialized
+    assert sys_.vi.stage == 0
+    sys_.shutdown()
