@@ -30,6 +30,11 @@ def main():
     ap.add_argument("seq_dir")
     ap.add_argument("--imu", action="store_true",
                     help="mono-inertial mode (mono_inertial_tum_vi)")
+    ap.add_argument("--stereo", action="store_true",
+                    help="fisheye stereo(-inertial): needs Camera2.* + "
+                    "Stereo.T_c1_c2 in the config (ops/stereo."
+                    "match_stereo_fisheye; the reference core's mpCamera2 "
+                    "path — it ships no stereo example config itself)")
     ap.add_argument("--config", default=None)
     ap.add_argument("--weights", default=None)
     ap.add_argument("--out", default="trajectory_tumvi.txt")
@@ -62,6 +67,8 @@ def main():
         args.config, sensor="imu-monocular" if args.imu else "monocular")
     cam = settings.make_camera()
     seq = load_tum_vi(args.seq_dir, with_imu=args.imu)
+    seq_r = load_tum_vi(args.seq_dir, cam="cam1",
+                        with_imu=False) if args.stereo else None
     n = len(seq) if not args.max_frames else min(args.max_frames, len(seq))
     print(f"sequence: {n} frames @ {cam.width}x{cam.height}"
           + (" + IMU" if args.imu else ""))
@@ -85,7 +92,14 @@ def main():
         t = float(seq.timestamps[i])
         with timings.section("frame_total"):
             img = seq.image(i)
-            if args.imu:
+            if args.stereo and args.imu:
+                slam.track_stereo_inertial(
+                    jnp.asarray(img), jnp.asarray(seq_r.image(i)), t,
+                    seq.imu_between(t_prev, t))
+            elif args.stereo:
+                slam.track_stereo(jnp.asarray(img),
+                                  jnp.asarray(seq_r.image(i)), t)
+            elif args.imu:
                 slam.track_monocular_inertial(
                     jnp.asarray(img), t, seq.imu_between(t_prev, t))
             else:

@@ -47,6 +47,10 @@ class SystemConfig:
     # stereo rig (Settings: Stereo.b / depth gates)
     baseline: float = 0.0      # metres; 0 = no stereo rig
     depth_factor: float = 1.0  # RGB-D raw-to-metres (RGBD.DepthMapFactor)
+    # non-rectified (fisheye) stereo rig: right camera + right-in-left
+    # extrinsic (the reference's mpCamera2 + Tlr paths, Frame.cc:1138)
+    cam_right: object = None           # geometry.cameras.Camera or None
+    T_lr: object = None                # (R_lr (3,3), t_lr (3,)) or None
     # RGB-D virtual baseline for depth-edge weighting (the reference's
     # Camera.bf serves both stereo and RGB-D)
     virtual_baseline: float = 0.08
@@ -123,17 +127,31 @@ class SLAMSystem:
         return self.track_features(feats, timestamp)
 
     def track_stereo(self, image_left, image_right, timestamp: float):
-        """Rectified stereo frame (System::TrackStereo analogue): extract
-        both images, associate along rows for depth, then track."""
+        """Stereo frame (System::TrackStereo analogue): extract both
+        images, associate for depth, then track. A rectified rig uses the
+        row-band matcher; a rig with `cam_right` + `T_lr` configured (e.g.
+        TUM-VI's non-overlapping KB8 fisheyes) uses descriptor matching +
+        two-view triangulation through each camera's own model
+        (Frame::ComputeStereoFishEyeMatches, Frame.cc:1138)."""
         from ..ops import stereo as S
 
         fl = self.extractor(image_left)
         fr = self.extractor(image_right)
-        depth, _ = S.match_stereo(
-            fl.xy, fl.desc, fl.octave, fl.mask,
-            fr.xy, fr.desc, fr.octave, fr.mask,
-            fx=float(self.cam.fx), baseline=self.cfg.baseline,
-        )
+        if self.cfg.cam_right is not None and self.cfg.T_lr is not None:
+            cr = self.cfg.cam_right
+            R_lr, t_lr = self.cfg.T_lr
+            depth, _, _ = S.match_stereo_fisheye(
+                self.cam.kind, self.cam.params, cr.kind, cr.params,
+                fl.xy, fl.desc, fl.octave, fl.mask,
+                fr.xy, fr.desc, fr.octave, fr.mask,
+                jnp.asarray(R_lr), jnp.asarray(t_lr),
+            )
+        else:
+            depth, _ = S.match_stereo(
+                fl.xy, fl.desc, fl.octave, fl.mask,
+                fr.xy, fr.desc, fr.octave, fr.mask,
+                fx=float(self.cam.fx), baseline=self.cfg.baseline,
+            )
         return self.track_features(fl, timestamp, depth=np.asarray(depth))
 
     def track_rgbd(self, image, depth_image, timestamp: float):
@@ -151,6 +169,33 @@ class SLAMSystem:
         imu = (N,7) [ax ay az wx wy wz dt] covering (t_prev, t]."""
         feats = self.extractor(image)
         return self.track_features(feats, timestamp, imu=imu)
+
+    def track_stereo_inertial(self, image_left, image_right,
+                              timestamp: float, imu):
+        """Stereo-inertial frame (System::TrackStereo with vImuMeas):
+        stereo depth (rectified row-search or fisheye triangulation, see
+        track_stereo) + the IMU measurement block."""
+        from ..ops import stereo as S
+
+        fl = self.extractor(image_left)
+        fr = self.extractor(image_right)
+        if self.cfg.cam_right is not None and self.cfg.T_lr is not None:
+            cr = self.cfg.cam_right
+            R_lr, t_lr = self.cfg.T_lr
+            depth, _, _ = S.match_stereo_fisheye(
+                self.cam.kind, self.cam.params, cr.kind, cr.params,
+                fl.xy, fl.desc, fl.octave, fl.mask,
+                fr.xy, fr.desc, fr.octave, fr.mask,
+                jnp.asarray(R_lr), jnp.asarray(t_lr),
+            )
+        else:
+            depth, _ = S.match_stereo(
+                fl.xy, fl.desc, fl.octave, fl.mask,
+                fr.xy, fr.desc, fr.octave, fr.mask,
+                fx=float(self.cam.fx), baseline=self.cfg.baseline,
+            )
+        return self.track_features(fl, timestamp, depth=np.asarray(depth),
+                                   imu=imu)
 
     def install_mesh(self, mesh, dist_min_kfs: int = 48,
                      retrieval_min_kfs: int = 64):

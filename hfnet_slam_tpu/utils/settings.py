@@ -73,6 +73,11 @@ class Settings:
     # stereo
     baseline: float = 0.0             # Stereo.b
     th_depth: float = 35.0            # Stereo.ThDepth (in baseline units)
+    # second camera (non-rectified / fisheye stereo rigs: TUM-VI):
+    # Camera2.* intrinsics + Stereo.T_c1_c2 (right-in-left extrinsic)
+    cam2: tuple = ()                  # (fx, fy, cx, cy) or empty
+    dist2: tuple = ()
+    T_c1_c2: Optional[np.ndarray] = None
     # RGBD
     depth_map_factor: float = 1.0
     # IMU
@@ -121,6 +126,15 @@ class Settings:
             rgb=bool(g("Camera.RGB", 1)),
             baseline=float(g("Stereo.b", 0.0) or 0.0),
             th_depth=float(g("Stereo.ThDepth", 35.0) or 35.0),
+            cam2=(tuple(float(d[k]) for k in
+                        ("Camera2.fx", "Camera2.fy", "Camera2.cx",
+                         "Camera2.cy"))
+                  if "Camera2.fx" in d else ()),
+            dist2=tuple(float(d[k]) for k in
+                        ("Camera2.k1", "Camera2.k2", "Camera2.p1",
+                         "Camera2.p2", "Camera2.k3", "Camera2.k4")
+                        if k in d),
+            T_c1_c2=_mat(g("Stereo.T_c1_c2")),
             depth_map_factor=float(g("RGBD.DepthMapFactor", 1.0) or 1.0),
             T_b_c=_mat(g("IMU.T_b_c1")),
             noise_gyro=float(g("IMU.NoiseGyro", 1.7e-4) or 1.7e-4),
@@ -167,6 +181,26 @@ class Settings:
                                self.cx * sx, self.cy * sy, *k, w, h)
         raise ValueError(f"unknown camera type {self.camera_type}")
 
+    def make_camera_right(self):
+        """Second camera of a non-rectified stereo rig (Camera2.*), or
+        None. Used with Stereo.T_c1_c2 by the fisheye stereo matcher
+        (ops/stereo.match_stereo_fisheye; the reference's mpCamera2)."""
+        if not self.cam2:
+            return None
+        from ..geometry import cameras
+
+        w = self.new_width or self.width
+        h = self.new_height or self.height
+        sx = w / self.width if self.width else 1.0
+        sy = h / self.height if self.height else 1.0
+        fx, fy, cx, cy = self.cam2
+        if self.camera_type == "KannalaBrandt8":
+            k = (list(self.dist2) + [0.0] * 4)[:4]
+            return cameras.kb8(fx * sx, fy * sy, cx * sx, cy * sy, *k, w, h)
+        dist = self.dist2 if any(self.dist2) else None
+        return cameras.pinhole(fx * sx, fy * sy, cx * sx, cy * sy, w, h,
+                               dist=dist)
+
     def make_imu_calib(self):
         import jax.numpy as jnp
 
@@ -200,6 +234,15 @@ class Settings:
         # (Tracking.cc newParameterLoader), i.e. at most ~1 s between KFs
         if self.fps > 0:
             cfg.tracker.max_frames_between_kf = int(round(self.fps))
+        # non-rectified stereo rig (TUM-VI fisheye): second camera +
+        # right-in-left extrinsic for match_stereo_fisheye
+        if self.cam2 and self.T_c1_c2 is not None:
+            cfg.cam_right = self.make_camera_right()
+            T = np.asarray(self.T_c1_c2, np.float64)
+            cfg.T_lr = (T[:3, :3].astype(np.float32),
+                        T[:3, 3].astype(np.float32))
+            if cfg.baseline <= 0:
+                cfg.baseline = float(np.linalg.norm(T[:3, 3]))
         for k, v in overrides.items():
             setattr(cfg, k, v)
         return cfg
