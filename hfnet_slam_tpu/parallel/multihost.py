@@ -71,14 +71,23 @@ def make_hybrid_mesh(dcn_axis: str = "host", ici_axis: str = "kf") -> Mesh:
     """
     n_proc = jax.process_count()
     if n_proc > 1:
-        from jax.experimental import mesh_utils
-
         per_host = jax.local_device_count()
-        dev = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(1, per_host),
-            dcn_mesh_shape=(n_proc, 1),
-            devices=jax.devices(),
-        )
+        try:
+            from jax.experimental import mesh_utils
+
+            dev = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(1, per_host),
+                dcn_mesh_shape=(n_proc, 1),
+                devices=jax.devices(),
+            )
+        except ValueError:
+            # non-TPU backends carry no slice topology (CPU multi-process:
+            # every device reports slice 0); group by owning process —
+            # the same (host, chip) layout, minus the physical-ring
+            # ordering only TPUs have
+            devs = sorted(jax.devices(),
+                          key=lambda d: (d.process_index, d.id))
+            dev = np.asarray(devs).reshape(n_proc, per_host)
         return Mesh(dev, (dcn_axis, ici_axis))
     devices = np.asarray(jax.devices()).reshape(1, -1)
     return Mesh(devices, (dcn_axis, ici_axis))

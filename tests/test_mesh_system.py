@@ -44,7 +44,7 @@ def _gt_pose(i, radius=6.0, total_angle=2.25 * np.pi, bob=0.15):
     return R_wc.T.astype(np.float32), (-R_wc.T @ c).astype(np.float32)
 
 
-def _run(meshed: bool, n_frames=170):
+def _run(meshed: bool, n_frames=155):
     cam = cameras.pinhole(450.0, 450.0, 320.0, 240.0, 640, 480)
     ext = FakeExtractor(_world(), cam, pad_to=512, noise_px=0.3,
                         desc_noise=0.03, max_landmarks_per_frame=480,

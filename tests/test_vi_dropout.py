@@ -154,10 +154,10 @@ def test_marginal_prior_lowers_interkf_error():
     errs = {}
     for label, use_prior in (("prior", True), ("fixed", False)):
         sys_, ext = build_vi_system(vi_marg_prior=use_prior)
-        plan = [(i, False) for i in range(90)]
+        plan = [(i, False) for i in range(78)]
         states, est, gtc, when = drive(sys_, ext, plan)
         assert sys_.store.imu_initialized
-        late = when > 60
+        late = when > 52
         errs[label] = ate.ate_rmse(est[late], gtc[late], with_scale=False)
         sys_.shutdown()
     # non-inferiority with a real margin: the chained prior must not hurt,
@@ -194,7 +194,7 @@ def test_not_enough_motion_resets_map():
         return np.asarray(rows, np.float32)
 
     tripped = False
-    for i in range(70):
+    for i in range(64):
         t = i * FRAME_DT
         R_wc, c = pose_h(t)
         R_cw = R_wc.T.astype(np.float32)
