@@ -154,14 +154,15 @@ def kernel_latencies(smoke: bool) -> dict:
     mask = jnp.ones(N, bool)
     dA, dB = jnp.asarray(dA), jnp.asarray(dB)
 
-    match = jax.jit(lambda: matching.match_descriptors(dA, mask, dB, mask))
+    match_j = jax.jit(matching.match_descriptors)
+    match = lambda: match_j(dA, mask, dB, mask)
     out = {"match_pair_ms": round(_time_dispatch(match, lambda o: o[0]), 3)}
 
     if not smoke and jax.default_backend() == "tpu":
         from hfnet_slam_tpu.ops import pallas_match
 
-        fused = jax.jit(
-            lambda: pallas_match.match_descriptors_fused(dA, mask, dB, mask))
+        fused_j = jax.jit(pallas_match.match_descriptors_fused)
+        fused = lambda: fused_j(dA, mask, dB, mask)
         out["match_pair_fused_ms"] = round(
             _time_dispatch(fused, lambda o: o[0]), 3)
 
@@ -200,13 +201,50 @@ def kernel_latencies(smoke: bool) -> dict:
     out["local_ba_4it_ms"] = round(
         _time_dispatch(lba, lambda o: o[0].poses_t, n=5), 3)
 
+    # the fused per-frame tracking program (slam/fused.track_step) at
+    # deployment sizes ON THE DEVICE: what one tracked frame costs a
+    # co-located TPU host (the slam_stack_fps section below measures the
+    # CPU-host deployment shape instead; through the axon tunnel the
+    # device number is only reachable with back-to-back dispatch)
+    if not smoke:
+        from hfnet_slam_tpu.slam.fused import FusedConfig, track_step
+
+        Nf, C, Mm = 1024, 4096, 32768
+        m_pos = jnp.asarray(rng.uniform(-8, 8, (Mm, 3)).astype(np.float32)
+                            + np.array([0, 0, 10], np.float32))
+        m_desc_t = rng.standard_normal((Mm, 256)).astype(np.float32)
+        m_desc_t /= np.linalg.norm(m_desc_t, axis=1, keepdims=True)
+        m_desc_t = jnp.asarray(m_desc_t)
+        m_normal = jnp.asarray(rng.standard_normal((Mm, 3)).astype(np.float32))
+        m_dmin = jnp.full(Mm, 2.0)
+        m_dmax = jnp.full(Mm, 30.0)
+        m_valid = jnp.ones(Mm, bool)
+        motion_ids = jnp.asarray(rng.choice(Mm, Nf, replace=False).astype(np.int32))
+        local_ids = jnp.asarray(rng.choice(Mm, C, replace=False).astype(np.int32))
+        xy_t = jnp.asarray(rng.uniform(0, 600, (Nf, 2)).astype(np.float32))
+        dsc_t = rng.standard_normal((Nf, 256)).astype(np.float32)
+        dsc_t /= np.linalg.norm(dsc_t, axis=1, keepdims=True)
+        dsc_t = jnp.asarray(dsc_t)
+        oct_t = jnp.zeros(Nf, jnp.int32)
+        msk_t = jnp.ones(Nf, bool)
+        zz = jnp.zeros(Nf)
+        fcfg = FusedConfig()
+        R0j, t0j = jnp.eye(3), jnp.zeros(3)
+        ts = lambda: track_step(
+            cam.kind, cam.params, 640.0, 480.0, R0j, t0j,
+            m_pos, m_desc_t, m_normal, m_dmin, m_dmax, m_valid,
+            motion_ids, local_ids, xy_t, dsc_t, oct_t, msk_t, zz, zz, fcfg)
+        out["track_step_device_ms"] = round(
+            _time_dispatch(ts, lambda o: o["R"], n=10), 3)
+
     # full-DB retrieval scan (KeyFrameDatabase::DetectNBestCandidates)
     Kdb, G = (64, 64) if smoke else (256, 4096)
     g = rng.standard_normal((Kdb, G)).astype(np.float32)
     g /= np.linalg.norm(g, axis=1, keepdims=True)
     gj, vm = jnp.asarray(g), jnp.ones(Kdb, bool)
     q = gj[:1]
-    scan = jax.jit(lambda: matching.global_scores_batch(q, gj, vm))
+    scan_j = jax.jit(matching.global_scores_batch)
+    scan = lambda: scan_j(q, gj, vm)
     out["retrieval_scan_ms"] = round(_time_dispatch(scan, lambda o: o), 3)
     return out
 
@@ -263,10 +301,14 @@ def slam_loop_fps(smoke: bool):
     # warm-up: initialize + compile every kernel on a prefix
     warm = 12 if smoke else 40
     est_c, gt_c = [], []
+    # features are synthesized OUTSIDE the timed loop: the stack metric
+    # measures tracking+mapping+loop closing, not the stand-in extractor
+    # (the real CNN is timed separately above)
+    feats_all = [ext(*gt_pose(i)) for i in range(n_frames)]
 
     def step(i):
         R, t = gt_pose(i)
-        _, Re, te = sys_.track_features(ext(R, t), 0.05 * i)
+        _, Re, te = sys_.track_features(feats_all[i], 0.05 * i)
         if Re is not None:
             est_c.append(-Re.T @ te)
             gt_c.append(-np.asarray(R).T @ t)
@@ -341,7 +383,6 @@ def _loop_metrics(smoke: bool, _ms: float) -> dict:
             gba_kf_cap=48, gba_mp_cap=4096, gba_edge_cap=16384,
             ransac_hyps=256),
     )
-    sys_ = SLAMSystem(cam, ext, cfg)
     n_frames = 60 if smoke else 170
 
     def gt_pose(i, radius=6.0, total_angle=2.25 * np.pi, bob=0.15):
@@ -354,19 +395,29 @@ def _loop_metrics(smoke: bool, _ms: float) -> dict:
         R_wc = np.stack([right, np.cross(out, right), out], 1)
         return R_wc.T.astype(np.float32), (-R_wc.T @ c).astype(np.float32)
 
-    live_c, gt_c, when = [], [], []
-    frame_ms = []
-    for i in range(n_frames):
-        R, t = gt_pose(i)
-        f0 = time.perf_counter()
-        _, Re, te = sys_.track_features(ext(R, t), 0.05 * i)
-        frame_ms.append((time.perf_counter() - f0) * 1e3)
-        if Re is not None:
-            live_c.append(-Re.T @ te)
-            gt_c.append(-R.T @ t)
-            when.append(i)
-    sys_.finish()
-    live_c, gt_c = np.asarray(live_c), np.asarray(gt_c)
+    feats_all = [ext(*gt_pose(i)) for i in range(n_frames)]
+
+    def run_circuit():
+        sys_ = SLAMSystem(cam, ext, cfg)
+        live_c, gt_c, when, frame_ms = [], [], [], []
+        for i in range(n_frames):
+            R, t = gt_pose(i)
+            f0 = time.perf_counter()
+            _, Re, te = sys_.track_features(feats_all[i], 0.05 * i)
+            frame_ms.append((time.perf_counter() - f0) * 1e3)
+            if Re is not None:
+                live_c.append(-Re.T @ te)
+                gt_c.append(-R.T @ t)
+                when.append(i)
+        sys_.finish()
+        return sys_, np.asarray(live_c), np.asarray(gt_c), when, frame_ms
+
+    # pass 1 compiles every kernel on the circuit (incl. the correction +
+    # GBA path at first loop closure); pass 2 measures warm frame times —
+    # the p99 then shows SCHEDULING stalls (a blocking GBA), not compiles
+    warm_sys, _, _, _, _ = run_circuit()
+    warm_sys.shutdown()
+    sys_, live_c, gt_c, when, frame_ms = run_circuit()
     ate_pre = float(ate.ate_rmse(live_c, gt_c, with_scale=True))
     # post-correction: rebuild every frame pose through its reference KF
     rec = TJ.recovered(sys_.trajectory)
@@ -375,7 +426,7 @@ def _loop_metrics(smoke: bool, _ms: float) -> dict:
     ate_post = float(ate.ate_rmse(rec_c[-n:], gt_c[-n:], with_scale=True))
     corrected = sys_.loop_closer.stats["corrected"] if sys_.loop_closer else 0
     sys_.shutdown()
-    frame_ms = np.asarray(frame_ms[12:])  # skip compile warm-up frames
+    frame_ms = np.asarray(frame_ms[12:])  # skip system-init frames
     return {
         "ate_loop_pre_m": round(ate_pre, 4),
         "ate_loop_post_m": round(ate_post, 4),

@@ -94,20 +94,34 @@ class DeviceMap:
         M = s.m_max
         ids = np.full(P, M, np.int32)  # pad rows scatter out of bounds
         ids[:n] = d
-        idx = jnp.asarray(ids)
 
         def pad_rows(np_arr):
             shape = (P,) + np_arr.shape[1:]
             out = np.zeros(shape, np_arr.dtype)
             out[:n] = np_arr[d]
-            return jnp.asarray(out)
+            return out
 
-        self.pos = self.pos.at[idx].set(pad_rows(s.mp_pos), mode="drop")
-        self.desc = self.desc.at[idx].set(pad_rows(s.mp_desc), mode="drop")
-        self.normal = self.normal.at[idx].set(pad_rows(s.mp_normal), mode="drop")
-        self.dmin = self.dmin.at[idx].set(pad_rows(s.mp_dmin), mode="drop")
-        self.dmax = self.dmax.at[idx].set(pad_rows(s.mp_dmax), mode="drop")
-        self.valid = self.valid.at[idx].set(pad_rows(s.mp_valid), mode="drop")
+        # ONE jitted dispatch updates all six tables (six eager .at[].set
+        # calls cost six dispatches + op-by-op compiles per new P bucket)
+        (self.pos, self.desc, self.normal, self.dmin, self.dmax,
+         self.valid) = _scatter_tables(
+            self.pos, self.desc, self.normal, self.dmin, self.dmax,
+            self.valid, jnp.asarray(ids),
+            pad_rows(s.mp_pos), pad_rows(s.mp_desc), pad_rows(s.mp_normal),
+            pad_rows(s.mp_dmin), pad_rows(s.mp_dmax), pad_rows(s.mp_valid))
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
+def _scatter_tables(pos, desc, normal, dmin, dmax, valid, idx,
+                    r_pos, r_desc, r_normal, r_dmin, r_dmax, r_valid):
+    """Row-scatter all DeviceMap tables in one program (buffers donated —
+    the update is in place on device)."""
+    return (pos.at[idx].set(r_pos, mode="drop"),
+            desc.at[idx].set(r_desc, mode="drop"),
+            normal.at[idx].set(r_normal, mode="drop"),
+            dmin.at[idx].set(r_dmin, mode="drop"),
+            dmax.at[idx].set(r_dmax, mode="drop"),
+            valid.at[idx].set(r_valid, mode="drop"))
 
 
 def get_device_map(store) -> DeviceMap:
@@ -146,7 +160,11 @@ def _match_projected(cam_kind, cam_params, W, H, R, t, pos, dsc, ok,
     in_img = (uv[:, 0] >= 0) & (uv[:, 0] < W) & (uv[:, 1] >= 0) & (uv[:, 1] < H)
     mp_ok = ok & depth_ok & in_img
 
-    d2 = jnp.sum((xy[:, None, :] - uv[None, :, :]) ** 2, axis=-1)
+    # squared pixel distances via the matmul identity |a-b|^2 =
+    # |a|^2+|b|^2-2ab^T: one (N,C) rank-2 product instead of an (N,C,2)
+    # broadcast grid (the grid form dominates the fused step on CPU hosts)
+    d2 = (jnp.sum(xy * xy, -1)[:, None] + jnp.sum(uv * uv, -1)[None, :]
+          - 2.0 * (xy @ uv.T))
     if normal is not None:
         center = -R.T @ t
         ray = pos - center[None, :]
