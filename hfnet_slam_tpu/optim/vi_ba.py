@@ -162,20 +162,39 @@ def vi_ba_iterate(cam_kind, cam_params, prob: VIBAProblem,
     z30 = jnp.zeros(30)
     max_step = jnp.asarray(0.5, prob.p_wb.dtype)
 
-    def edge_costs(p2: VIBAProblem):
-        """Per-term robust costs (visual per-edge + inertial per-link),
-        summed as per-edge DIFFERENCES by the caller (see optim/ba.py on
-        why: f32 resolution of large totals)."""
+    def _vis_costs(p2: VIBAProblem):
         r, depth = jax.vmap(lambda e: _vis_residual(cam_kind, cam_params, p2, e, z9))(
             jnp.arange(E))
         chi2 = jnp.sum(r * r, -1) * p2.inv_sigma2
         m = p2.valid * (depth > 0)
         huber = jnp.where(chi2 <= delta2, chi2,
                           2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 0.0)) - delta2)
-        cv = (huber if robust else chi2) * m
-        rl = jax.vmap(lambda l: _link_residual(p2, L9, Lg, La, l, z30))(jnp.arange(L))
+        return (huber if robust else chi2) * m
+
+    def _link_res(p2: VIBAProblem):
+        return jax.vmap(lambda l: _link_residual(p2, L9, Lg, La, l, z30))(
+            jnp.arange(L))
+
+    def edge_costs(p2: VIBAProblem):
+        """Per-term robust costs (visual per-edge + inertial per-link) —
+        for MONITORING totals only (accept/reject uses cost_diff)."""
+        rl = _link_res(p2)
         cl = jnp.sum(rl * rl, -1) * p2.lvalid
-        return jnp.concatenate([cv, cl])
+        return jnp.concatenate([_vis_costs(p2), cl])
+
+    def cost_diff(p_new: VIBAProblem, p_old: VIBAProblem):
+        """Sum of per-term cost differences, f32-safe. Visual chi2 are
+        O(1)-O(1e2): plain differences resolve. Whitened inertial chi2 are
+        O(1e8) (the preintegration information over a 0.3 s link is huge),
+        so chi2_new - chi2_old in f32 has O(10) noise PER LINK — enough to
+        accept random-walk steps near convergence and drift a long chain
+        by decimeters. (r_new-r_old)*(r_new+r_old) is algebraically the
+        same difference but keeps the precision of r itself."""
+        dv = jnp.sum(_vis_costs(p_new) - _vis_costs(p_old))
+        rn = _link_res(p_new)
+        ro = _link_res(p_old)
+        dl = jnp.sum(jnp.sum((rn - ro) * (rn + ro), -1) * p_old.lvalid)
+        return dv + dl
 
     def lm_step(carry, _):
         R, p, v, bg, ba, pts, lam = carry
@@ -267,7 +286,13 @@ def vi_ba_iterate(cam_kind, cam_params, prob: VIBAProblem,
         Sm = S.reshape(K * D, K * D)
         d = jnp.sqrt(jnp.maximum(jnp.diagonal(Sm), 1e-12))
         Sm = Sm / d[:, None] / d[None, :]
-        dx = (jnp.linalg.solve(Sm, rhs.reshape(K * D) / d) / d).reshape(K, D)
+        b = rhs.reshape(K * D) / d
+        y = jnp.linalg.solve(Sm, b)
+        # one iterative-refinement step: at K ~ 100+ the scaled system's
+        # f32 solve still loses ~3 digits; refining against the residual
+        # recovers them for the price of a second solve
+        y = y + jnp.linalg.solve(Sm, b - Sm @ y)
+        dx = (y / d).reshape(K, D)
         dx = dx * free
         step = jnp.sqrt(jnp.sum(dx * dx, -1))
         dx = dx * jnp.minimum(1.0, max_step / jnp.maximum(jnp.max(step), 1e-12))
@@ -287,7 +312,7 @@ def vi_ba_iterate(cam_kind, cam_params, prob: VIBAProblem,
         pts_new = pts + dp_pts
 
         new = _states_replace(prob, R_new, p_new, v_new, bg_new, ba_new, pts_new)
-        dcost = jnp.sum(edge_costs(new) - edge_costs(cur))
+        dcost = cost_diff(new, cur)
         c_new = jnp.sum(edge_costs(new))
         ok = (dcost < 0) & jnp.all(jnp.isfinite(dx)) & jnp.all(jnp.isfinite(dp_pts))
         pick = lambda a, b: jnp.where(ok, a, b)
@@ -320,11 +345,18 @@ def classify_visual_edges(cam_kind, cam_params, prob: VIBAProblem,
 def vi_bundle_adjust(cam_kind, cam_params, prob: VIBAProblem,
                      rounds=((5, True), (10, True)),
                      chi2_mono: float = factors.CHI2_MONO,
+                     should_abort=None,
                      ):
     """LM rounds with visual-outlier re-classification between them — the
-    VI counterpart of optim/ba.bundle_adjust."""
+    VI counterpart of optim/ba.bundle_adjust.
+
+    should_abort: polled between rounds (the detached inertial GBA's stop
+    flag — mbStopGBA semantics, reference LoopClosing.cc:1123); on True
+    the remaining rounds are skipped and the caller discards the result."""
     base_valid = prob.valid
     for n_iters, robust in rounds:
+        if should_abort is not None and should_abort():
+            break
         prob, _ = vi_ba_iterate(cam_kind, cam_params, prob, n_iters, robust,
                                 chi2_mono)
         new_valid = classify_visual_edges(cam_kind, cam_params, prob,

@@ -54,10 +54,16 @@ class ShardedBA(NamedTuple):
     uv: jnp.ndarray           # (D,El,2)
     inv_sigma2: jnp.ndarray   # (D,El)
     valid: jnp.ndarray        # (D,El)
+    # stereo/RGB-D depth rows (reference stereo edges Optimizer.cc:
+    # 1116-1498): measured depth + pixel-equivalent weight bf/z^2; wz = 0
+    # turns the row off (mono edge) — same contract as optim/ba.BAProblem
+    z_meas: jnp.ndarray = None   # (D,El)
+    wz: jnp.ndarray = None       # (D,El)
 
 
 def partition_edges(n_dev, K, M_per_dev, E_per_dev, poses_R, poses_t, fixed,
-                    points, kf_idx, pt_idx, uv, inv_sigma2, valid):
+                    points, kf_idx, pt_idx, uv, inv_sigma2, valid,
+                    z_meas=None, wz=None):
     """Host-side packing: landmarks round-robin into n_dev slabs, each edge
     into its landmark's slab. Caps must be sized to the problem (the
     mapper computes them exactly, local_mapping._run_dist_gba); any
@@ -71,6 +77,12 @@ def partition_edges(n_dev, K, M_per_dev, E_per_dev, poses_R, poses_t, fixed,
     uve = np.zeros((D, El, 2), np.float32)
     ise = np.ones((D, El), np.float32)
     vae = np.zeros((D, El), bool)
+    zme = np.zeros((D, El), np.float32)
+    wze = np.zeros((D, El), np.float32)
+    if z_meas is None:
+        z_meas = np.zeros(len(kf_idx), np.float32)
+    if wz is None:
+        wz = np.zeros(len(kf_idx), np.float32)
 
     M = len(points)
     owner = np.arange(M) % D
@@ -93,6 +105,8 @@ def partition_edges(n_dev, K, M_per_dev, E_per_dev, poses_R, poses_t, fixed,
         pte[d, i] = local[m]
         uve[d, i] = uv[e]
         ise[d, i] = inv_sigma2[e]
+        zme[d, i] = z_meas[e]
+        wze[d, i] = wz[e]
         vae[d, i] = True
         fill[d] += 1
     if n_dropped:
@@ -106,18 +120,30 @@ def partition_edges(n_dev, K, M_per_dev, E_per_dev, poses_R, poses_t, fixed,
         fixed=jnp.asarray(fixed), points=jnp.asarray(pts),
         kf_idx=jnp.asarray(kfe), pt_idx=jnp.asarray(pte),
         uv=jnp.asarray(uve), inv_sigma2=jnp.asarray(ise), valid=jnp.asarray(vae),
+        z_meas=jnp.asarray(zme), wz=jnp.asarray(wze),
     ), (owner, local, ok)
 
 
+def _with_depth_defaults(z_meas, wz, like):
+    """Fill absent depth fields with mono-edge zeros (old callers)."""
+    z = z_meas if z_meas is not None else jnp.zeros_like(like)
+    w = wz if wz is not None else jnp.zeros_like(like)
+    return z, w
+
+
 def _shard_terms(cam_kind, cam_params, poses_R, poses_t, points,
-                 kf_idx, pt_idx, uv, inv_sigma2, valid, robust, delta2):
-    """Per-edge residual/Jacobian terms for one device's edge bucket."""
+                 kf_idx, pt_idx, uv, inv_sigma2, valid, robust, delta2,
+                 z_meas=None, wz=None):
+    """Per-edge residual/Jacobian terms for one device's edge bucket.
+    3-row residuals: reprojection + optional depth row (wz > 0)."""
     R = poses_R[kf_idx]
     t = poses_t[kf_idx]
     p = points[pt_idx]
+    z_meas, wz = _with_depth_defaults(z_meas, wz, inv_sigma2)
     r, Jc, Jp, depth = jax.vmap(
-        lambda R, t, p, u: factors.reproj_residual(cam_kind, cam_params, R, t, p, u)
-    )(R, t, p, uv)
+        lambda R, t, p, u, z, w: factors.reproj_depth_residual(
+            cam_kind, cam_params, R, t, p, u, z, w)
+    )(R, t, p, uv, z_meas, wz)
     chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
     w = inv_sigma2 * valid * (depth > 0)
     if robust:
@@ -147,30 +173,37 @@ def dist_lm_step(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
     chi2_th = jnp.asarray(chi2_th, dt)
     max_step = jnp.asarray(max_step, dt)
 
-    def robust_cost(chi2):
+    def robust_cost(chi2, delta2):
         if not robust:
             return chi2
-        return jnp.where(chi2 <= chi2_th, chi2,
-                         2.0 * jnp.sqrt(chi2_th * jnp.maximum(chi2, 0.0))
-                         - chi2_th)
+        return jnp.where(chi2 <= delta2, chi2,
+                         2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 0.0))
+                         - delta2)
 
-    def local_cost(poses_R, poses_t, points, kf_idx, pt_idx, uv, inv_s2, valid):
+    def local_cost(poses_R, poses_t, points, kf_idx, pt_idx, uv, inv_s2,
+                   valid, z_meas, wz):
+        delta2 = jnp.where(wz > 0, factors.CHI2_STEREO, chi2_th)
         r, _, _, w0 = _shard_terms(
             cam_kind, cam_params, poses_R, poses_t, points,
-            kf_idx, pt_idx, uv, inv_s2, valid, False, chi2_th)
+            kf_idx, pt_idx, uv, inv_s2, valid, False, delta2,
+            z_meas=z_meas, wz=wz)
         chi2 = jnp.sum(r * r, axis=-1) * inv_s2
         m = (w0 > 0).astype(dt)
-        return robust_cost(chi2) * m  # per-edge
+        return robust_cost(chi2, delta2) * m  # per-edge
 
-    def step(poses_R, poses_t, fixed, points, kf_idx, pt_idx, uv, inv_s2, valid):
+    def step(poses_R, poses_t, fixed, points, kf_idx, pt_idx, uv, inv_s2,
+             valid, z_meas, wz):
         # leading device axis is mapped away by shard_map
-        points, kf_idx, pt_idx, uv, inv_s2, valid = (
-            points[0], kf_idx[0], pt_idx[0], uv[0], inv_s2[0], valid[0]
+        points, kf_idx, pt_idx, uv, inv_s2, valid, z_meas, wz = (
+            points[0], kf_idx[0], pt_idx[0], uv[0], inv_s2[0], valid[0],
+            z_meas[0], wz[0]
         )
         Ml = points.shape[0]
+        delta2 = jnp.where(wz > 0, factors.CHI2_STEREO, chi2_th)
         r, Jc, Jp, w = _shard_terms(
             cam_kind, cam_params, poses_R, poses_t, points,
-            kf_idx, pt_idx, uv, inv_s2, valid, robust, chi2_th)
+            kf_idx, pt_idx, uv, inv_s2, valid, robust, delta2,
+            z_meas=z_meas, wz=wz)
 
         JcW = Jc * w[:, None, None]
         Hcc_part = jax.ops.segment_sum(jnp.einsum("eri,erj->eij", JcW, Jc), kf_idx, K)
@@ -228,9 +261,9 @@ def dist_lm_step(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
 
         # ---- in-graph accept/reject on the psum of per-edge differences ----
         c_old_e = local_cost(poses_R, poses_t, points,
-                             kf_idx, pt_idx, uv, inv_s2, valid)
+                             kf_idx, pt_idx, uv, inv_s2, valid, z_meas, wz)
         c_new_e = local_cost(R_new, t_new, pts_new,
-                             kf_idx, pt_idx, uv, inv_s2, valid)
+                             kf_idx, pt_idx, uv, inv_s2, valid, z_meas, wz)
         dcost = jax.lax.psum(jnp.sum(c_new_e - c_old_e), axis)
         # ok must be IDENTICAL on every device: dc/dcost are replicated,
         # and the per-shard landmark finiteness is psum-combined
@@ -249,12 +282,14 @@ def dist_lm_step(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
 
     f = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis), P(axis)),
         out_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
     )
+    z, w = _with_depth_defaults(prob.z_meas, prob.wz, prob.inv_sigma2)
     R, t, pts, lam_new, cost, ok = f(
         prob.poses_R, prob.poses_t, prob.fixed, prob.points,
-        prob.kf_idx, prob.pt_idx, prob.uv, prob.inv_sigma2, prob.valid)
+        prob.kf_idx, prob.pt_idx, prob.uv, prob.inv_sigma2, prob.valid, z, w)
     return R, t, pts, lam_new[0], cost[0], ok[0]
 
 
@@ -263,23 +298,29 @@ def _dist_cost_jit(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
                    robust: bool = True):
     axis = "ba"
 
-    def f(poses_R, poses_t, points, kf_idx, pt_idx, uv, inv_s2, valid):
-        points, kf_idx, pt_idx, uv, inv_s2, valid = (
-            points[0], kf_idx[0], pt_idx[0], uv[0], inv_s2[0], valid[0]
+    def f(poses_R, poses_t, points, kf_idx, pt_idx, uv, inv_s2, valid,
+          z_meas, wz):
+        points, kf_idx, pt_idx, uv, inv_s2, valid, z_meas, wz = (
+            points[0], kf_idx[0], pt_idx[0], uv[0], inv_s2[0], valid[0],
+            z_meas[0], wz[0]
         )
+        delta2 = jnp.where(wz > 0, factors.CHI2_STEREO, factors.CHI2_MONO)
         r, _, _, w = _shard_terms(
             cam_kind, cam_params, poses_R, poses_t, points,
-            kf_idx, pt_idx, uv, inv_s2, valid, robust, factors.CHI2_MONO)
+            kf_idx, pt_idx, uv, inv_s2, valid, robust, delta2,
+            z_meas=z_meas, wz=wz)
         return jax.lax.psum(jnp.sum(r * r * w[:, None]), axis)[None]
 
     g = jax.shard_map(
         f, mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis), P(axis)),
         out_specs=P(axis),
     )
+    z, w = _with_depth_defaults(prob.z_meas, prob.wz, prob.inv_sigma2)
     return g(prob.poses_R, prob.poses_t, prob.points,
              prob.kf_idx, prob.pt_idx, prob.uv,
-             prob.inv_sigma2, prob.valid)
+             prob.inv_sigma2, prob.valid, z, w)
 
 
 def dist_cost(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
@@ -336,24 +377,30 @@ def _dist_classify_jit(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,
                        chi2_th: float = factors.CHI2_MONO):
     axis = "ba"
 
-    def cls(poses_R, poses_t, points, kf_idx, pt_idx, uv, inv_s2, valid):
-        points, kf_idx, pt_idx, uv, inv_s2, valid = (
-            points[0], kf_idx[0], pt_idx[0], uv[0], inv_s2[0], valid[0]
+    def cls(poses_R, poses_t, points, kf_idx, pt_idx, uv, inv_s2, valid,
+            z_meas, wz):
+        points, kf_idx, pt_idx, uv, inv_s2, valid, z_meas, wz = (
+            points[0], kf_idx[0], pt_idx[0], uv[0], inv_s2[0], valid[0],
+            z_meas[0], wz[0]
         )
+        delta2 = jnp.where(wz > 0, factors.CHI2_STEREO, chi2_th)
         r, _, _, _ = _shard_terms(
             cam_kind, cam_params, poses_R, poses_t, points,
-            kf_idx, pt_idx, uv, inv_s2, valid, False, chi2_th)
+            kf_idx, pt_idx, uv, inv_s2, valid, False, delta2,
+            z_meas=z_meas, wz=wz)
         chi2 = jnp.sum(r * r, axis=-1) * inv_s2
-        return (valid & (chi2 < chi2_th))[None]
+        return (valid & (chi2 < delta2))[None]
 
     g = jax.shard_map(
         cls, mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis), P(axis)),
         out_specs=P(axis),
     )
+    z, w = _with_depth_defaults(prob.z_meas, prob.wz, prob.inv_sigma2)
     return g(prob.poses_R, prob.poses_t, prob.points,
              prob.kf_idx, prob.pt_idx, prob.uv,
-             prob.inv_sigma2, prob.valid)
+             prob.inv_sigma2, prob.valid, z, w)
 
 
 def _dist_classify(cam_kind, cam_params, prob: ShardedBA, mesh: Mesh,

@@ -83,8 +83,12 @@ class MapperConfig:
     iba_mp_cap: int = 2048
     iba_edge_cap: int = 8192
     iba_rounds: tuple = ((4, True), (6, False))
-    # full VI-BA (FullInertialBA, Optimizer.cc:392) capacities
-    fiba_kf_cap: int = 48
+    # full VI-BA (FullInertialBA, Optimizer.cc:392): solved JOINTLY with
+    # capacities sized to the map (padded to powers of two) up to
+    # fiba_max_joint keyframes — the reference optimizes every KF in one
+    # g2o problem; beyond that the overlapping-chunk sweep takes over
+    fiba_kf_cap: int = 48        # chunk window for the beyond-joint sweep
+    fiba_max_joint: int = 256    # largest single joint VI problem
     fiba_rounds: tuple = ((8, True), (12, False))
 
 
@@ -414,7 +418,18 @@ class LocalMapper:
                 # keyframes born during a detached solve keep their pose
                 # relative to their anchors: their "pre" pose is the
                 # creation pose (they were created in the same world frame
-                # the solve started from)
+                # the solve started from). The store may have GROWN while
+                # the solve ran (grow_keyframes doubles k_max): pad the
+                # snapshots up to the current capacity, filling new slots
+                # with current poses and uid -1 — which also marks any KF
+                # living there as born.
+                if len(pre_uid) < store.k_max:
+                    n_old = len(pre_uid)
+                    pre_R = np.concatenate([pre_R, store.kf_R[n_old:]], 0)
+                    pre_t = np.concatenate([pre_t, store.kf_t[n_old:]], 0)
+                    pre_uid = np.concatenate(
+                        [pre_uid,
+                         np.full(store.k_max - n_old, -1, np.int64)], 0)
                 born = store.kf_valid & (store.kf_uid != pre_uid)
                 pre_R[born] = store.kf_R[born]
                 pre_t[born] = store.kf_t[born]
@@ -458,6 +473,19 @@ class LocalMapper:
             fixed = np.asarray([int(i) in fixed_ids for i in kf_ids])
             uv = store.kf_xy[kf_e, slot_e]
             inv_s2 = 1.0 / (1.2 ** (2.0 * store.kf_octave[kf_e, slot_e]))
+            # stereo/RGB-D depth rows (reference stereo edges
+            # Optimizer.cc:1116-1498) ride the distributed route too —
+            # large maps must not lose their metric-scale constraints
+            if self.cfg.bf > 0:
+                z_raw = store.kf_depth[kf_e, slot_e]
+                z_meas = np.where(z_raw > 0, z_raw, 0.0).astype(np.float32)
+                wz = np.where(
+                    z_raw > 0,
+                    self.cfg.bf / np.maximum(z_raw, 1e-3) ** 2,
+                    0.0).astype(np.float32)
+            else:
+                z_meas = np.zeros(len(kf_e), np.float32)
+                wz = np.zeros(len(kf_e), np.float32)
             D = len(mesh.devices.ravel())
             # exact per-device capacities: round-robin landmark ownership,
             # so device d holds edges of landmarks with (local_id % D) == d.
@@ -477,7 +505,8 @@ class LocalMapper:
             prob, _ = DBA.partition_edges(
                 D, Kp, Ml, El, R_pad, t_pad, f_pad,
                 store.mp_pos[mp_ids], kf_loc[kf_e], mp_loc[mp_e], uv,
-                inv_s2.astype(np.float32), np.ones(len(kf_e), bool))
+                inv_s2.astype(np.float32), np.ones(len(kf_e), bool),
+                z_meas=z_meas, wz=wz)
             assert int(np.asarray(prob.valid).sum()) == len(kf_e), \
                 "partition_edges dropped edges despite exact sizing"
         out, _, costs = DBA.dist_bundle_adjust(
@@ -502,8 +531,10 @@ class LocalMapper:
                             store.kf_R[kf_e], store.mp_pos[mp_e]) + store.kf_t[kf_e]
             uv_hat = np.asarray(self.cam.project(jnp.asarray(p_c)))
             chi2 = ((uv_hat - uv) ** 2).sum(1) * inv_s2
+            chi2 = chi2 + (wz * (p_c[:, 2] - z_meas)) ** 2 * inv_s2
+            th = np.where(wz > 0, factors.CHI2_STEREO, factors.CHI2_MONO)
             bad_depth = p_c[:, 2] <= 0
-            ok = (chi2 < factors.CHI2_MONO) & ~bad_depth
+            ok = (chi2 < th) & ~bad_depth
             self._detach_outliers(ok, kf_e, slot_e, mp_ids)
         return {"kf_ids": kf_ids, "mp_ids": mp_ids, "costs": costs}
 
@@ -729,51 +760,139 @@ class LocalMapper:
             mp_ids=mp_ids, rounds=cfg.iba_rounds, kf_cap=cfg.iba_kf_cap,
         )
 
-    def full_inertial_ba(self, vim, prior_g=0.0, prior_a=0.0, rounds=None):
+    def full_inertial_ba(self, vim, prior_g=0.0, prior_a=0.0, rounds=None,
+                         should_abort=None):
         """Whole-map VI-BA (Optimizer::FullInertialBA, Optimizer.cc:392),
         run by the staged IMU initialization (LocalMapping.cc:1493) and by
-        inertial loop closing (LoopClosing.cc:2408)."""
+        inertial loop closing (LoopClosing.cc:2408).
+
+        UNCAPPED: the reference optimizes EVERY keyframe's 15-d state in
+        ONE problem (Optimizer.cc:392-813). Up to fiba_max_joint keyframes
+        the solve here is likewise JOINT, with capacities sized to the map
+        and padded to powers of two (bounded compile count) — no keyframe
+        is ever left on a rigid-propagation fallback. Only beyond that do
+        overlapping-chunk Gauss-Seidel sweeps take over (logged: chunking
+        is an approximation on strongly-coupled maps).
+
+        should_abort: polled between chunks and between LM rounds
+        (mbStopGBA semantics, LoopClosing.cc:1123); on True the remaining
+        work is skipped and nothing more is written back."""
+        from ..utils.log import warn
+
         store = self.store
         cfg = self.cfg
-        kf_ids = store.valid_kf_ids()
-        order = np.argsort(store.kf_timestamp[kf_ids])
-        kf_ids = [int(i) for i in kf_ids[order][-cfg.fiba_kf_cap:]]
-        if len(kf_ids) < 3:
-            return
-        pre_R = store.kf_R.copy()
-        pre_t = store.kf_t.copy()
-        res = self._run_inertial_ba(
-            opt_ids=kf_ids, fixed_ids=[], vim=vim, mp_ids=None,
-            rounds=rounds or cfg.fiba_rounds, kf_cap=cfg.fiba_kf_cap,
-            prior_g=prior_g, prior_a=prior_a,
-        )
-        if res is not None:
-            # keyframes/points older than the temporal window follow the
-            # window boundary so the map stays mutually consistent
+        with self.lock:
+            kf_ids = store.valid_kf_ids()
+            order = np.argsort(store.kf_timestamp[kf_ids])
+            kf_ids = [int(i) for i in kf_ids[order]]
+            if len(kf_ids) < 3:
+                return
+            pre_R = store.kf_R.copy()
+            pre_t = store.kf_t.copy()
+            pre_uid = store.kf_uid.copy()
+        rounds = rounds or cfg.fiba_rounds
+        opt_all, mp_all = [], []
+        n_chunks = 0
+        if len(kf_ids) <= cfg.fiba_max_joint:
+            # ---- joint solve sized to the map (the reference's shape) ----
+            Kp = 1 << max(3, int(len(kf_ids) - 1).bit_length())
             with self.lock:
-                self.propagate_ba_correction(res["kf_ids"], res["mp_ids"],
-                                             pre_R, pre_t)
-                store.bump_change()
+                n_mp = int(store.mp_valid.sum())
+                n_obs = int((store.kf_obs[kf_ids] >= 0).sum())
+            Mp = 1 << max(6, int(max(n_mp, 1) - 1).bit_length())
+            Ep = 1 << max(8, int(max(n_obs, 1) - 1).bit_length())
+            res = self._run_inertial_ba(
+                opt_ids=kf_ids, fixed_ids=[], vim=vim, mp_ids=None,
+                rounds=rounds, kf_cap=Kp, mp_cap=Mp, edge_cap=Ep,
+                prior_g=prior_g, prior_a=prior_a,
+                should_abort=should_abort,
+            )
+            if res is None:
+                return  # stale/aborted: discarded
+            if res:
+                opt_all.extend(int(i) for i in res["kf_ids"])
+                mp_all.extend(int(i) for i in res["mp_ids"])
+        else:
+            # ---- overlapping-chunk sweeps (maps beyond one problem) ------
+            W = cfg.fiba_kf_cap
+            overlap = min(8, max(2, W // 4))
+            warn(f"full_inertial_ba: {len(kf_ids)} KFs > fiba_max_joint="
+                 f"{cfg.fiba_max_joint}; chunked Gauss-Seidel sweep "
+                 f"(window {W}, overlap {overlap})")
+            for sweep in range(2):
+                start = 0
+                while start < len(kf_ids):
+                    if should_abort is not None and should_abort():
+                        return
+                    if start == 0:
+                        opt = kf_ids[:W]
+                        anchors = []
+                    else:
+                        anchors = kf_ids[start - overlap:start]
+                        opt = kf_ids[start:start + (W - overlap)]
+                    if not opt:
+                        break
+                    first = sweep == 0 and start == 0
+                    res = self._run_inertial_ba(
+                        opt_ids=opt, fixed_ids=anchors, vim=vim, mp_ids=None,
+                        rounds=rounds, kf_cap=W,
+                        prior_g=prior_g if first else 0.0,
+                        prior_a=prior_a if first else 0.0,
+                        should_abort=should_abort,
+                    )
+                    if res is None:
+                        return  # stale/aborted (earlier chunks stand)
+                    if res:
+                        opt_all.extend(int(i) for i in res["kf_ids"])
+                        mp_all.extend(int(i) for i in res["mp_ids"])
+                    start += len(opt) if start == 0 else (W - overlap)
+                    n_chunks += 1
+            self.stats["fiba_chunks"] = self.stats.get("fiba_chunks", 0) \
+                + n_chunks
+        if not opt_all:
+            return
+        with self.lock:
+            # keyframes born during the detached sweep follow their anchors
+            # (pre pose = creation pose); the store may also have grown
+            if len(pre_uid) < store.k_max:
+                n_old = len(pre_uid)
+                pre_R = np.concatenate([pre_R, store.kf_R[n_old:]], 0)
+                pre_t = np.concatenate([pre_t, store.kf_t[n_old:]], 0)
+                pre_uid = np.concatenate(
+                    [pre_uid, np.full(store.k_max - n_old, -1, np.int64)], 0)
+            born = store.kf_valid & (store.kf_uid != pre_uid)
+            pre_R[born] = store.kf_R[born]
+            pre_t[born] = store.kf_t[born]
+            self.propagate_ba_correction(np.unique(opt_all),
+                                         np.unique(mp_all), pre_R, pre_t)
+            store.bump_change()
 
     def _run_inertial_ba(self, opt_ids, fixed_ids, vim, mp_ids, rounds,
-                         kf_cap, prior_g=0.0, prior_a=0.0):
+                         kf_cap, prior_g=0.0, prior_a=0.0, should_abort=None,
+                         mp_cap=None, edge_cap=None):
         """Build a fixed-capacity VIBAProblem from the store + IMU chain,
-        solve, write back body states and landmarks."""
+        solve, write back body states and landmarks. Returns the solved
+        id sets (dict), {} when there was nothing to solve, or None when
+        the solve went stale / was aborted and was discarded."""
         store = self.store
         cfg = self.cfg
         self.lock.acquire()
         try:
             big0 = store.big_change_idx
             built = self._build_inertial_problem(
-                opt_ids, fixed_ids, vim, mp_ids, kf_cap, prior_g, prior_a)
+                opt_ids, fixed_ids, vim, mp_ids, kf_cap, prior_g, prior_a,
+                mp_cap=mp_cap, edge_cap=edge_cap)
         finally:
             self.lock.release()
         if built is None:
-            return
+            return {}
         prob, kf_ids, mp_ids, fixed, fix_pose_only, kf_e, slot_e, n_e = built
         out = vi_ba.vi_bundle_adjust(self.cam.kind, self.cam.params, prob,
-                                     rounds=rounds)
+                                     rounds=rounds,
+                                     should_abort=should_abort)
         with self.lock:
+            if should_abort is not None and should_abort():
+                return None  # mbStopGBA: discard (LoopClosing.cc:1123)
             if store.big_change_idx != big0:
                 return None  # whole map moved under the solve; stale
             return self._write_back_inertial(out, kf_ids, mp_ids, fixed,
@@ -781,15 +900,18 @@ class LocalMapper:
                                              slot_e, n_e)
 
     def _build_inertial_problem(self, opt_ids, fixed_ids, vim, mp_ids,
-                                kf_cap, prior_g, prior_a):
+                                kf_cap, prior_g, prior_a, mp_cap=None,
+                                edge_cap=None):
         store = self.store
         cfg = self.cfg
+        mp_cap = mp_cap or cfg.iba_mp_cap
+        edge_cap = edge_cap or cfg.iba_edge_cap
         all_ids = sorted(set(int(i) for i in opt_ids) | set(int(i) for i in fixed_ids))
         kf_ids, mp_ids, kf_e, slot_e, mp_e = self._gather_edges(
-            all_ids, mp_ids, kf_cap, cfg.iba_mp_cap, cfg.iba_edge_cap)
+            all_ids, mp_ids, kf_cap, mp_cap, edge_cap)
         if len(kf_e) == 0:
             return None
-        K, M, E = kf_cap, cfg.iba_mp_cap, cfg.iba_edge_cap
+        K, M, E = kf_cap, mp_cap, edge_cap
         nk = len(kf_ids)
         kf_loc = {int(kf): i for i, kf in enumerate(kf_ids)}
 
@@ -887,7 +1009,12 @@ class LocalMapper:
         # relinearize chain preintegrations whose bias moved too far
         # (no-op within tolerance; Reintegrate, src/ImuTypes.cc:168)
         vim.reintegrate_chain()
-        store.bump_change()
+        # incremental change only: the touched points were row-marked above.
+        # big_change_idx is reserved for WHOLE-map moves (loop corrections,
+        # GBA propagation, rescale, merges) — bumping it here on every
+        # local inertial window BA would discard every in-flight detached
+        # GBA and wipe the tracker's VI prior each keyframe.
+        store.bump_change(dirty_points=False)
         return {"kf_ids": kf_ids, "mp_ids": mp_ids}
 
     def _inertial_cull_ok(self, j: int) -> bool:

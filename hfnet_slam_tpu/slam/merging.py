@@ -56,18 +56,18 @@ def compute_world_transform(active: MapStore, target: MapStore,
 def merge_into(active: MapStore, target: MapStore, G, cam=None):
     """Move every valid keyframe/landmark of `active` into `target`,
     transformed by G = (R, t, s): p_b = s R p_a + t. Returns
-    (kf_remap, mp_remap) dicts (active id -> target id). Rows that exceed
-    the target's capacity are dropped (capacity is an explicit budget)."""
+    (kf_remap, mp_remap) dicts (active id -> target id). The target store
+    GROWS when active+target exceed its capacity — the reference's
+    MergeLocal moves everything (LoopClosing.cc:1355-1922); nothing is
+    silently dropped."""
     Rg, tg, sg = G
     Rg = np.asarray(Rg, np.float32)
     tg = np.asarray(tg, np.float32)
     sg = float(sg)
 
-    # ---- landmarks ---------------------------------------------------
+    # ---- landmarks (add_points grows the target at capacity) ----------
     mp_ids = np.nonzero(active.mp_valid)[0]
     mp_remap = {}
-    free = target.m_max - int(target.mp_valid.sum())
-    mp_ids = mp_ids[: max(free, 0)]
     if len(mp_ids):
         pos_b = sg * (active.mp_pos[mp_ids] @ Rg.T) + tg
         new_ids = target.add_points(pos_b, active.mp_desc[mp_ids])
@@ -84,9 +84,8 @@ def merge_into(active: MapStore, target: MapStore, G, cam=None):
     for a, b in mp_remap.items():
         lut[a] = b
     for a in kf_ids:
-        if target.n_kf >= target.k_max and not target._free_kf:
-            break
         # pose: T' = T_a o G^{-1}, scale folded into translation ([R, t/s])
+        # (add_keyframe grows the target's keyframe capacity when full)
         Ra, ta = active.kf_R[a], active.kf_t[a]
         Rn = Ra @ Rg.T
         tn = ta / sg - Rn @ (tg / sg)

@@ -169,7 +169,8 @@ class GBAWorker:
             aborted = self._abort.is_set  # fresh closure per request
             try:
                 if kind == "inertial":
-                    self.mapper.full_inertial_ba(self.mapper.vim, **kw)
+                    self.mapper.full_inertial_ba(self.mapper.vim,
+                                                 should_abort=aborted, **kw)
                 else:
                     self.mapper.run_global_ba(should_abort=aborted, **kw)
                 if aborted():

@@ -61,18 +61,20 @@ def score_all(store: MapStore, gdesc) -> np.ndarray:
     return np.array(sc)  # writable copy (np.asarray of a jax array is RO)
 
 
-def _group_accumulate(store: MapStore, scores, cand_ids, n_covisibles):
+def _group_accumulate(store: MapStore, scores, cand_ids, n_covisibles,
+                      score_floor=0.0):
     """For each candidate, sum scores over its covisibility group and keep
-    the best-scoring member (KeyFrameDatabase.cc:107-137). Returns
-    (group_best_kf, group_acc_score) arrays aligned with cand_ids."""
+    the best-scoring member (KeyFrameDatabase.cc:107-137). The reference
+    accumulates EVERY covisible whose own score clears the gate — not only
+    covisibles that are themselves candidates — so a borderline candidate
+    whose neighbors scored just below 0.8x best still gets its group.
+    Returns (group_best_kf, group_acc_score) arrays aligned with cand_ids."""
     best_kf = np.empty(len(cand_ids), np.int64)
     acc = np.empty(len(cand_ids), np.float32)
-    cand_set = set(int(c) for c in cand_ids)
     for n, c in enumerate(cand_ids):
         group = [int(c)] + [int(j) for j in store.covisible_kfs(int(c), n=n_covisibles, min_weight=1)]
-        g_scores = [(scores[j], j) for j in group if j in cand_set or j == int(c)]
-        if not g_scores:
-            g_scores = [(scores[int(c)], int(c))]
+        g_scores = [(scores[j], j) for j in group
+                    if scores[j] > score_floor or j == int(c)]
         acc[n] = sum(s for s, _ in g_scores)
         best_kf[n] = max(g_scores)[1]
     return best_kf, acc
@@ -96,7 +98,8 @@ def detect_n_best_candidates(
     cand = np.nonzero(scores > cfg.min_score_ratio * best)[0]
     if len(cand) == 0:
         return []
-    best_kf, acc = _group_accumulate(store, scores, cand, cfg.n_covisibles)
+    best_kf, acc = _group_accumulate(store, scores, cand, cfg.n_covisibles,
+                                     score_floor=cfg.min_score_ratio * best)
     order = np.argsort(-acc)
     out, seen = [], set()
     for i in order:
@@ -128,7 +131,8 @@ def detect_relocalization_candidates(
         cand = np.nonzero(scores > cfg.min_score_ratio * best)[0]
     if len(cand) == 0:
         return []
-    best_kf, acc = _group_accumulate(store, scores, cand, cfg.n_covisibles)
+    best_kf, acc = _group_accumulate(store, scores, cand, cfg.n_covisibles,
+                                     score_floor=cfg.min_score_ratio * best)
     keep = acc > cfg.reloc_acc_ratio * float(acc.max())
     order = np.argsort(-acc)
     out, seen = [], set()

@@ -949,6 +949,12 @@ class Tracker:
             n_in = self._pose_optimize_frame(
                 frame, np.asarray(res["R"]), np.asarray(res["t"])
             )
+            if n_in < cfg.min_reloc_pnp_inliers:
+                frame.R = None
+                frame.t = None
+                continue  # nGood < 10 (Tracking.cc:3131)
+            if n_in < cfg.min_reloc_inliers:
+                n_in = self._reloc_escalate(frame, c, n_in)
             if n_in >= cfg.min_reloc_inliers:
                 self.ref_kf = int(c)
                 self.velocity = None
@@ -959,6 +965,65 @@ class Tracker:
             frame.R = None
             frame.t = None
         return False
+
+    def _reloc_escalate(self, frame, c: int, n_in: int) -> int:
+        """Widened-projection retry for a failing reloc candidate
+        (Tracking.cc:3141-3169): when the first pose optimization lands
+        10-50 inliers, project the candidate keyframe's map points at the
+        estimated pose with a COARSE window (th=10, TH_HIGH), re-optimize;
+        if that reaches 30-50, one more FINE pass (th=3, TH_LOW) and a
+        final optimization. Recovers candidates whose brute-force match
+        set was too small but whose pose estimate is already decent."""
+        cfg = self.cfg
+        store = self.store
+        kf_obs = store.kf_obs[c]
+        slots_c = np.nonzero((kf_obs >= 0) & store.kf_mask[c])[0]
+        mp_c = kf_obs[slots_c]
+        mp_c = np.unique(mp_c[store.mp_valid[mp_c]])
+        if len(mp_c) == 0:
+            return n_in
+        N = store.n_slots
+        pos, desc, valid, ids_p = self._pad_mps(mp_c, N)
+
+        def extra_pass(radius, max_dist):
+            """One guided-projection pass over the frame's FREE slots;
+            returns the number of new observations claimed."""
+            free = np.asarray(frame.feats.mask) & (frame.obs < 0)
+            # exclude points the frame already carries (sFound)
+            have = frame.obs[frame.obs >= 0]
+            val2 = np.asarray(valid) & ~np.isin(ids_p, have)
+            idx, _, _ = search.search_by_projection(
+                self.cam.kind, self.cam.params,
+                (self.cam.width, self.cam.height),
+                jnp.asarray(frame.R), jnp.asarray(frame.t),
+                pos, desc, jnp.asarray(val2),
+                frame.feats.xy, frame.feats.desc, frame.feats.octave,
+                jnp.asarray(free),
+                radius=float(radius), max_dist=float(max_dist),
+            )
+            idx = np.asarray(idx)
+            new_slots = np.nonzero((idx >= 0) & free)[0]
+            if len(new_slots) == 0:
+                return 0
+            new_ids = ids_p[idx[new_slots]]
+            _, first = np.unique(new_ids, return_index=True)
+            uniq = np.zeros(len(new_ids), bool)
+            uniq[first] = True
+            new_slots, new_ids = new_slots[uniq], new_ids[uniq]
+            frame.obs[new_slots] = new_ids
+            return len(new_slots)
+
+        from ..ops import matching as M
+
+        n_add = extra_pass(10.0, M.TH_HIGH)
+        if n_in + n_add < cfg.min_reloc_inliers:
+            return n_in
+        n_in = self._pose_optimize_frame(frame, frame.R, frame.t)
+        if 30 < n_in < cfg.min_reloc_inliers:
+            n_add = extra_pass(3.0, M.TH_LOW)
+            if n_in + n_add >= cfg.min_reloc_inliers:
+                n_in = self._pose_optimize_frame(frame, frame.R, frame.t)
+        return n_in
 
     def _pad_mps(self, mp_ids, cap, with_stats=False):
         store = self.store

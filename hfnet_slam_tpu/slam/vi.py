@@ -179,13 +179,26 @@ class VIManager:
         links = self.chain()
         if not links:
             return
+
+        def link_dist(a, b):
+            ca = -store.kf_R[a].T @ store.kf_t[a]
+            cb = -store.kf_R[b].T @ store.kf_t[b]
+            return float(np.linalg.norm(cb - ca))
+
         p, k, _ = links[-1]
-        cp = -store.kf_R[p].T @ store.kf_t[p]
-        ck = -store.kf_R[k].T @ store.kf_t[k]
-        d = float(np.linalg.norm(ck - cp))
+        d1 = link_dist(p, k)
+        # post-init the reference sums the last TWO chain-link distances
+        # before comparing against the 0.05/0.02 thresholds
+        # (LocalMapping.cc:146-157); the pre-init gate is single-link vs
+        # 0.03 (:202-210). A single-link post-init gate is ~2x stricter
+        # and trips bad_imu on slow-but-valid sequences.
+        d = d1
+        if len(links) >= 2:
+            p2, k2, _ = links[-2]
+            d += link_dist(p2, k2)
         if self.stage == 0:
             if (len(links) + 1 >= cfg.min_kfs_for_init
-                    and d < cfg.min_motion_init):
+                    and d1 < cfg.min_motion_init):
                 self.bad_imu = True
         elif not store.viba2:
             self._dist_filtered = (d if self._dist_filtered is None

@@ -119,3 +119,56 @@ def test_merged_map_is_single_consistent_store(merge_run):
     obs = store.kf_obs[kfs]
     live = obs[obs >= 0]
     assert store.mp_valid[live].all()
+
+
+def test_merge_grows_target_beyond_capacity():
+    """merge_into must GROW the target store when active+target exceed its
+    capacity — zero dropped keyframes/points (the reference's MergeLocal
+    moves everything, LoopClosing.cc:1355-1922; VERDICT r3 weak #5)."""
+    from hfnet_slam_tpu.slam import merging
+    from hfnet_slam_tpu.slam.map import MapStore
+
+    rng = np.random.default_rng(0)
+
+    def build(n_kf, n_mp, k_max, m_max):
+        st = MapStore(k_max=k_max, m_max=m_max, n_slots=16, desc_dim=8,
+                      gdesc_dim=8)
+        descs = rng.normal(size=(n_mp, 8)).astype(np.float32)
+        descs /= np.linalg.norm(descs, axis=1, keepdims=True)
+        ids = st.add_points(rng.normal(size=(n_mp, 3)).astype(np.float32),
+                            descs)
+
+        class F:
+            xy = rng.uniform(0, 100, (16, 2)).astype(np.float32)
+            score = np.ones(16, np.float32)
+            octave = np.zeros(16, np.int32)
+            desc = np.zeros((16, 8), np.float32)
+            mask = np.ones(16, bool)
+            global_desc = np.ones(8, np.float32)
+
+        for i in range(n_kf):
+            obs = np.full(16, -1, np.int32)
+            obs[:4] = ids[(4 * i) % n_mp: (4 * i) % n_mp + 4]
+            st.add_keyframe(np.eye(3), np.zeros(3), F(), float(i), obs=obs)
+        return st
+
+    active = build(n_kf=12, n_mp=96, k_max=16, m_max=128)
+    target = build(n_kf=6, n_mp=48, k_max=8, m_max=64)
+    n_kf_a = int(active.kf_valid.sum())
+    n_mp_a = int(active.mp_valid.sum())
+    n_kf_t = int(target.kf_valid.sum())
+    n_mp_t = int(target.mp_valid.sum())
+    G = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32), 1.0)
+    kf_remap, mp_remap = merging.merge_into(active, target, G)
+    # NOTHING dropped: every active keyframe and landmark transplanted
+    assert len(kf_remap) == n_kf_a
+    assert len(mp_remap) == n_mp_a
+    assert int(target.kf_valid.sum()) == n_kf_a + n_kf_t
+    assert int(target.mp_valid.sum()) == n_mp_a + n_mp_t
+    # capacities grew
+    assert target.k_max > 8 and target.m_max > 64
+    # observation bookkeeping intact in the grown store
+    kfs = target.valid_kf_ids()
+    obs = target.kf_obs[kfs]
+    live = obs[obs >= 0]
+    assert target.mp_valid[live].all()

@@ -153,3 +153,84 @@ class TestRelocalizationE2E:
         assert recovered, "tracker did not relocalize after blackout"
         assert sys_.tracker.n_relocalizations >= 1
         assert sys_.atlas.n_maps() == 1  # same map, no new-map fallback
+
+
+class TestRelocEscalation:
+    """The widened-projection retry (Tracking.cc:3141-3169): a frame whose
+    descriptors are degraded into the (TH_LOW, TH_HIGH) distance band
+    yields too few brute-force matches for the single-pass reloc, but the
+    coarse projection pass at the PnP-estimated pose recovers it."""
+
+    def test_widened_projection_retry(self, monkeypatch):
+        import jax.numpy as jnp_
+        from hfnet_slam_tpu.models.extractor import Features
+        from hfnet_slam_tpu.models.fake import FakeExtractor, SyntheticWorld
+        from hfnet_slam_tpu.slam.local_mapping import MapperConfig
+        from hfnet_slam_tpu.slam.system import SLAMSystem, SystemConfig
+        from hfnet_slam_tpu.slam.tracking import Frame, TrackerConfig
+        from tests.test_slam import browse_trajectory
+
+        cam = make_cam()
+        world = SyntheticWorld.cloud(seed=11, n_landmarks=1400, extent=16.0,
+                                     center=(0, 0, 10.0), desc_dim=64)
+        ext = FakeExtractor(world, cam, pad_to=512, noise_px=0.3,
+                            desc_noise=0.02, max_landmarks_per_frame=480,
+                            seed=3)
+        cfg = SystemConfig(
+            k_max=128, m_max=8192, n_slots=512, desc_dim=64, gdesc_dim=64,
+            loop_closing=False,
+            tracker=TrackerConfig(local_mp_cap=2048,
+                                  min_init_med_parallax_deg=4.0),
+            mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=2048,
+                                ba_edge_cap=8192, tri_neighbors=5),
+        )
+        sys_ = SLAMSystem(cam, ext, cfg)
+        gt = browse_trajectory(60)
+        for i, (R, t) in enumerate(gt):
+            sys_.track_features(ext(R, t), 0.05 * i)
+        sys_.finish()
+
+        # degrade: push most descriptors to distance ~0.66 from the truth —
+        # past the brute-force gate (0.6) but inside TH_HIGH (0.75)
+        R, t = gt[30]
+        feats = ext(R, t)
+        rng = np.random.default_rng(0)
+        desc = np.asarray(feats.desc).copy()
+        mask = np.asarray(feats.mask)
+        sel = np.nonzero(mask)[0]
+        corrupt = rng.choice(sel, int(0.93 * len(sel)), replace=False)
+        d = desc[corrupt]
+        r = rng.normal(size=d.shape).astype(np.float32)
+        r -= (r * d).sum(1, keepdims=True) * d  # orthogonalize
+        r /= np.maximum(np.linalg.norm(r, axis=1, keepdims=True), 1e-9)
+        a = 0.78  # cos(true, degraded) -> dist = sqrt(2-2a) ~ 0.66
+        desc[corrupt] = a * d + np.sqrt(1.0 - a * a) * r
+
+        def degraded_feats():
+            return Features(
+                xy=feats.xy, score=feats.score, octave=feats.octave,
+                desc=jnp_.asarray(desc), mask=feats.mask,
+                global_desc=feats.global_desc)
+
+        tr = sys_.tracker
+
+        # single-pass (escalation disabled) must FAIL on this frame
+        monkeypatch.setattr(tr, "_reloc_escalate",
+                            lambda frame, c, n_in: n_in)
+        f1 = Frame(feats=degraded_feats(), timestamp=99.0)
+        assert not tr._relocalize(f1), \
+            "degradation too weak: single-pass reloc already succeeds"
+
+        # with the escalation pass it must SUCCEED
+        monkeypatch.undo()
+        f2 = Frame(feats=degraded_feats(), timestamp=99.0)
+        assert tr._relocalize(f2), "escalation pass failed to recover"
+        assert int((f2.obs >= 0).sum()) >= tr.cfg.min_reloc_inliers
+        # pose agrees with a clean-frame relocalization at the same
+        # viewpoint (the monocular map's gauge/scale differ from GT, so
+        # only map-frame poses are comparable)
+        f_clean = Frame(feats=feats, timestamp=99.0)
+        assert tr._relocalize(f_clean)
+        assert np.linalg.norm(f2.t - f_clean.t) < 0.1
+        assert np.linalg.norm(f2.R - f_clean.R) < 0.05
+        sys_.shutdown()

@@ -186,3 +186,106 @@ class TestVIBundleAdjust:
                                    np.asarray(prob.v[1]), atol=1e-7)
         np.testing.assert_allclose(np.asarray(out.bg[1]),
                                    np.asarray(prob.bg[1]), atol=1e-7)
+
+
+class TestChunkedFullInertialBA:
+    """Uncapped FullInertialBA (reference Optimizer.cc:392-813 optimizes
+    EVERY keyframe): a map with 80+ chain keyframes — far beyond the old
+    48-KF truncation window — solves JOINTLY with capacities sized to the
+    map, and every keyframe (including the oldest 30) must converge."""
+
+    def test_80_kf_chain_all_optimized(self):
+        from hfnet_slam_tpu.geometry import imu as IMU
+        from hfnet_slam_tpu.slam.local_mapping import LocalMapper, MapperConfig
+        from hfnet_slam_tpu.slam.map import MapStore
+        from hfnet_slam_tpu.slam.vi import VIManager
+
+        n_kf, m = 80, 240
+        n_see = 64  # landmarks per keyframe (local covisibility)
+        # mild yaw so the camera keeps scene overlap along the whole chain
+        w_fn = lambda t: np.array([0.02 * np.sin(t), 0.03, 0.02 * np.cos(2 * t)])
+        a_fn = lambda t: np.array([0.6 * np.cos(t), 0.5 * np.sin(1.3 * t),
+                                   0.3 * np.cos(0.7 * t)])
+        kf_R, kf_p, kf_v, links = simulate_keyframes(n_kf, w_fn, a_fn)
+        rng = np.random.default_rng(0)
+        # landmarks distributed ALONG the trajectory, in front of the
+        # cameras that pass them — realistic local covisibility, unlike a
+        # single start-clustered cloud the tail cameras can't see
+        anchor = kf_p[np.linspace(0, n_kf - 1, m).astype(int)]
+        pts_gt = (anchor + rng.uniform(-3, 3, (m, 3))
+                  + np.array([0, 0, 8.0])).astype(np.float32)
+
+        store = MapStore(k_max=128, m_max=512, n_slots=n_see, desc_dim=8,
+                         gdesc_dim=8)
+        ids = store.add_points(pts_gt, np.ones((m, 8), np.float32))
+        calib = imu.default_calib()
+        calib = calib._replace(Tbc_R=jnp.asarray(TBC_R, jnp.float32),
+                               Tbc_t=jnp.asarray(TBC_T, jnp.float32)) \
+            if hasattr(calib, "_replace") else calib
+
+        class F:
+            score = np.ones(n_see, np.float32)
+            octave = np.zeros(n_see, np.int32)
+            desc = np.zeros((n_see, 8), np.float32)
+            mask = np.ones(n_see, bool)
+            global_desc = np.ones(8, np.float32)
+
+        # perturb every pose/velocity except KF0 (the gauge)
+        xi = rng.normal(size=(n_kf, 6)) * 0.01
+        xi[0] = 0.0
+        dv = rng.normal(size=(n_kf, 3)) * 0.01
+        dv[0] = 0.0
+        for k in range(n_kf):
+            R_wb = kf_R[k] @ np.asarray(lie.so3_exp(jnp.asarray(xi[k, :3])))
+            p_wb = kf_p[k] + xi[k, 3:6]
+            R_cb = TBC_R.T
+            R_cw = R_cb @ R_wb.T
+            t_cw = -R_cw @ p_wb - R_cb @ TBC_T
+            # observations from the TRUE pose (noise-free pixels) of the
+            # n_see nearest landmarks that sit in front of the camera
+            R_cw_gt, t_cw_gt = body_to_cam(kf_R[k], kf_p[k])
+            pc = pts_gt @ R_cw_gt.T + t_cw_gt
+            uv_all = np.asarray(CAM.project(jnp.asarray(pc)))
+            in_view = (pc[:, 2] > 1.0) & (uv_all[:, 0] >= 0) \
+                & (uv_all[:, 0] < CAM.width) & (uv_all[:, 1] >= 0) \
+                & (uv_all[:, 1] < CAM.height)
+            near = np.argsort(np.where(in_view, pc[:, 2], 1e9))[:n_see]
+            near = near[in_view[near]]
+            feats = F()
+            feats.xy = np.zeros((n_see, 2), np.float32)
+            feats.xy[: len(near)] = uv_all[near]
+            obs = np.full(n_see, -1, np.int32)
+            obs[: len(near)] = ids[near]
+            kk = store.add_keyframe(R_cw, t_cw, feats, float(k) * 0.3, obs=obs)
+            store.kf_vel[kk] = kf_v[k] + dv[k]
+            store.kf_prev[kk] = kk - 1 if k > 0 else -1
+        # perturb the landmarks too
+        store.mp_pos[ids] += rng.normal(size=(m, 3)).astype(np.float32) * 0.03
+        store.imu_initialized = True
+
+        vim = VIManager(calib, store)
+        c = imu.default_calib()
+        for k in range(1, n_kf):
+            vim.kf_pre[k] = imu.integrate(
+                jnp.asarray(links[k - 1]), jnp.ones(len(links[k - 1]), bool),
+                vim.calib, jnp.zeros(3), jnp.zeros(3))
+
+        cfg = MapperConfig(fiba_kf_cap=24, iba_mp_cap=512, iba_edge_cap=8192,
+                           fiba_rounds=((6, True), (14, False)))
+        mapper = LocalMapper(CAM, store, cfg)
+        mapper.vim = vim
+        mapper.full_inertial_ba(vim)
+        # 80 KFs <= fiba_max_joint -> ONE joint problem, no chunk sweep
+        assert mapper.stats.get("fiba_chunks", 0) == 0
+
+        # EVERY keyframe converged — including the oldest 30, which the old
+        # 48-KF truncation would have left on rigid propagation
+        for k in range(n_kf):
+            R_wb_est, p_wb_est = vim.cam_to_body(store.kf_R[k], store.kf_t[k])
+            dR = R_wb_est.T @ kf_R[k]
+            ang = np.linalg.norm(np.asarray(lie.so3_log(jnp.asarray(dR))))
+            dp = np.linalg.norm(p_wb_est - kf_p[k])
+            assert ang < 5e-3 and dp < 2e-2, (k, ang, dp)
+        # velocities too (the 15-d state optimized, not just the pose)
+        v_err = np.linalg.norm(store.kf_vel[:n_kf] - kf_v, axis=1)
+        assert v_err.max() < 5e-2, v_err.max()

@@ -194,7 +194,10 @@ def test_not_enough_motion_resets_map():
         return np.asarray(rows, np.float32)
 
     tripped = False
-    for i in range(64):
+    # 80 frames: the post-init gate filters the TWO-link distance sum
+    # (reference LocalMapping.cc:146-157) seeded while the rig still moved;
+    # the 0.5-per-KF decay needs ~7 stationary keyframes to cross 0.02
+    for i in range(80):
         t = i * FRAME_DT
         R_wc, c = pose_h(t)
         R_cw = R_wc.T.astype(np.float32)
