@@ -436,11 +436,20 @@ def _loop_metrics(smoke: bool, _ms: float) -> dict:
     warm_sys.shutdown()
     sys_, live_c, gt_c, when, frame_ms = run_circuit()
     ate_pre = float(ate.ate_rmse(live_c, gt_c, with_scale=True))
-    # post-correction: rebuild every frame pose through its reference KF
+    # post-correction: rebuild every frame pose through its reference KF.
+    # Pair each recovered entry with ITS OWN frame's ground truth via the
+    # timestamp (ts = 0.05*i) — `rec` covers all tracked frames while gt_c
+    # only frames that returned a pose, so tail-slicing two differently
+    # indexed arrays would silently misalign the day tracking hiccups.
     rec = TJ.recovered(sys_.trajectory)
-    rec_c = np.asarray([-e[1].T @ e[2] for e in rec])
-    n = min(len(rec_c), len(gt_c))
-    ate_post = float(ate.ate_rmse(rec_c[-n:], gt_c[-n:], with_scale=True))
+    rec_c, gt_rc = [], []
+    for e in rec:
+        i = int(round(e[0] / 0.05))
+        R, t = gt_pose(i)
+        rec_c.append(-e[1].T @ e[2])
+        gt_rc.append(-R.T @ t)
+    ate_post = float(ate.ate_rmse(np.asarray(rec_c), np.asarray(gt_rc),
+                                  with_scale=True))
     corrected = sys_.loop_closer.stats["corrected"] if sys_.loop_closer else 0
     sys_.shutdown()
     frame_ms = np.asarray(frame_ms[12:])  # skip system-init frames

@@ -110,6 +110,11 @@ class LocalMapper:
         # for the reduced camera system
         self.mesh = None
         self.dist_min_kfs = 48
+        # mbAbortBA (LocalMapping.cc:321): set by the tracker's
+        # NeedNewKeyFrame when mapping is busy and a keyframe is wanted;
+        # the in-flight local BA stops between LM rounds and KEEPS the
+        # completed rounds' result (g2o's forceStop semantics)
+        self.abort_ba = False
         # (mp_id, n_kf at creation) for MapPointCulling's age window
         self.recent_points: list[tuple[int, int]] = []
         self.kf_count = 0
@@ -124,11 +129,17 @@ class LocalMapper:
         (Tracking.cc:1884: GlobalBundleAdjustemnt(20 its), first KF fixed)."""
         self._run_ba([kf0, kf1], fixed_ids=[kf0], rounds=self.cfg.init_ba_rounds)
 
-    def process_keyframe(self, k: int):
+    def process_keyframe(self, k: int, do_ba: bool = True):
         """The per-keyframe mapping pipeline (LocalMapping::Run body).
-        Local BA runs on EVERY keyframe like the reference
-        (LocalMapping.cc:168-173); in async mode its device solve overlaps
-        tracking (the round-1 ba_interval stabilizer is gone)."""
+
+        do_ba mirrors the reference's `!CheckNewKeyFrames()` gate
+        (LocalMapping.cc:140): when MORE keyframes are already queued, the
+        association stages (culling, triangulation, fuse) run for this KF
+        but the local BA is DEFERRED until the queue drains — triangulated
+        coverage keeps pace with the camera, and one BA then polishes the
+        whole fresh window. Running the BA per-KF regardless starves
+        triangulation on slow hosts and tracking dies on drift."""
+        self.abort_ba = False  # fresh keyframe: stale interrupt cleared
         with self.lock:
             self.kf_count += 1
             self.kf_born[k] = self.kf_count
@@ -141,13 +152,15 @@ class LocalMapper:
             seen = np.unique(seen[seen >= 0])
             self.store.refresh_point_descriptors(seen)
             self.store.update_point_stats(seen)
-        # once the IMU is initialized the window BA is visual-inertial
-        # (LocalMapping.cc:168: LocalInertialBA when IMU_INITIALIZED).
-        # The BA entry points manage the lock internally (solve unlocked).
-        if self.vim is not None and self.store.imu_initialized:
-            self.local_inertial_ba(k, self.vim)
-        else:
-            self.local_ba(k)
+        if do_ba:
+            # once the IMU is initialized the window BA is visual-inertial
+            # (LocalMapping.cc:168: LocalInertialBA when IMU_INITIALIZED).
+            # The BA entry points manage the lock internally (solve
+            # unlocked, abortable via abort_ba = the tracker's InterruptBA).
+            if self.vim is not None and self.store.imu_initialized:
+                self.local_inertial_ba(k, self.vim)
+            else:
+                self.local_ba(k)
         with self.lock:
             self.cull_keyframes(k)
 
@@ -371,8 +384,11 @@ class LocalMapper:
                 if len(fixed_ids) >= 2:
                     break
                 fixed_ids.add(cand)
+        # abortable like the reference's LBA (mbAbortBA): the tracker
+        # interrupts it when a keyframe is waiting; completed rounds land
         self._run_ba(list(all_kfs), fixed_ids=fixed_ids, rounds=cfg.ba_rounds,
-                     mp_ids=mp_ids)
+                     mp_ids=mp_ids, should_abort=lambda: self.abort_ba,
+                     abort_mode="keep")
 
     def run_global_ba(self, fixed_ids, rounds=((10, True),), kf_cap=None,
                       mp_cap=None, edge_cap=None, should_abort=None):
@@ -661,13 +677,18 @@ class LocalMapper:
             store.remove_points(orphans)
 
     def _run_ba(self, kf_ids, fixed_ids, rounds, mp_ids=None, kf_cap=None,
-                mp_cap=None, edge_cap=None, should_abort=None):
+                mp_cap=None, edge_cap=None, should_abort=None,
+                abort_mode="discard"):
         """Build a fixed-capacity BAProblem from the store, solve, write back,
         and detach outlier observations. The device solve runs outside the
         map lock (see slam/pipeline.py) so async tracking overlaps it.
         A solve that raced a whole-map move (loop correction / GBA
         propagation / rescale — store.big_change_idx) is stale and
-        discarded without write-back."""
+        discarded without write-back.
+
+        abort_mode: what an abort means. "discard" = mbStopGBA (detached
+        global solves: nothing lands); "keep" = mbAbortBA (the local BA:
+        stop early but write back the completed rounds, g2o forceStop)."""
         cfg = self.cfg
         kf_cap = kf_cap or cfg.ba_kf_cap
         mp_cap = mp_cap or cfg.ba_mp_cap
@@ -708,7 +729,8 @@ class LocalMapper:
 
         # ---- write back ------------------------------------------------
         with self.lock:
-            if should_abort is not None and should_abort():
+            if (abort_mode == "discard" and should_abort is not None
+                    and should_abort()):
                 return None  # mbStopGBA: discard
             if store.big_change_idx != big0:
                 return None  # whole map moved under the solve; stale
@@ -758,6 +780,7 @@ class LocalMapper:
         self._run_inertial_ba(
             opt_ids=window, fixed_ids=[int(a) for a in anchors], vim=vim,
             mp_ids=mp_ids, rounds=cfg.iba_rounds, kf_cap=cfg.iba_kf_cap,
+            should_abort=lambda: self.abort_ba, abort_mode="keep",
         )
 
     def full_inertial_ba(self, vim, prior_g=0.0, prior_a=0.0, rounds=None,
@@ -869,7 +892,7 @@ class LocalMapper:
 
     def _run_inertial_ba(self, opt_ids, fixed_ids, vim, mp_ids, rounds,
                          kf_cap, prior_g=0.0, prior_a=0.0, should_abort=None,
-                         mp_cap=None, edge_cap=None):
+                         mp_cap=None, edge_cap=None, abort_mode="discard"):
         """Build a fixed-capacity VIBAProblem from the store + IMU chain,
         solve, write back body states and landmarks. Returns the solved
         id sets (dict), {} when there was nothing to solve, or None when
@@ -891,7 +914,8 @@ class LocalMapper:
                                      rounds=rounds,
                                      should_abort=should_abort)
         with self.lock:
-            if should_abort is not None and should_abort():
+            if (abort_mode == "discard" and should_abort is not None
+                    and should_abort()):
                 return None  # mbStopGBA: discard (LoopClosing.cc:1123)
             if store.big_change_idx != big0:
                 return None  # whole map moved under the solve; stale

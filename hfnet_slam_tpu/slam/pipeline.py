@@ -6,12 +6,14 @@ LocalMapping::Run and LoopClosing::Run each on a std::thread, global BA on
 a transient fourth thread; hand-off by mutex-guarded keyframe queues,
 LocalMapping.cc:317-322 / LoopClosing.cc:315-320).
 
-Design here: ONE worker thread runs the whole per-keyframe mapping + loop
-pipeline (the two reference threads were a latency ladder, not a
-parallelism win — mapping hands each KF straight to loop closing). The
-reference's map-wide lock `Map::mMutexMapUpdate` (include/Map.h:141, taken
-by Tracking each frame at Tracking.cc:1190) becomes `map_lock`, an RLock
-with the same discipline:
+Design here: TWO worker threads mirroring the reference's split — a
+MappingWorker (LocalMapping::Run) and a LoopWorker (LoopClosing::Run).
+Round 3 merged them into one thread; that starved triangulation whenever
+place recognition ran (detection kernels block the mapping pipeline for
+hundreds of ms, and tracking depends on fresh triangulated coverage
+frame-to-frame). The reference's map-wide lock `Map::mMutexMapUpdate`
+(include/Map.h:141, taken by Tracking each frame at Tracking.cc:1190)
+becomes `map_lock`, an RLock with the same discipline:
 
   * the tracking thread holds it for the whole per-frame track() body;
   * worker-side host sections (gather problem inputs, write back results,
@@ -77,8 +79,17 @@ class MappingWorker:
                 with self.map_lock:
                     stale = store is not sys_.store or not store.kf_valid[k]
                 if not stale:
-                    sys_.mapper.process_keyframe(k)
-                    if sys_.loop_closer is not None:
+                    # defer the local BA while more keyframes are queued
+                    # (the reference's !CheckNewKeyFrames() gate,
+                    # LocalMapping.cc:140) so association stages keep pace
+                    sys_.mapper.process_keyframe(
+                        k, do_ba=self.q.qsize() == 0)
+                    # hand the keyframe to the loop-closing thread
+                    # (LocalMapping.cc:283); sync fallback runs inline
+                    lw = getattr(sys_, "loop_worker", None)
+                    if lw is not None:
+                        lw.enqueue(store, k)
+                    elif sys_.loop_closer is not None:
                         closed = sys_.loop_closer.process_keyframe(k)
                         if closed:
                             with self.map_lock:
@@ -94,6 +105,66 @@ class MappingWorker:
                         with self.map_lock:
                             ts = float(store.kf_timestamp[k])
                             sys_.vi.maybe_initialize(ts)
+                self.processed += 1
+            except Exception as e:  # surfaced on the next drain()
+                self.exc = e
+            finally:
+                self.q.task_done()
+
+
+class LoopWorker:
+    """LoopClosing thread (the reference spawns it at System.cc:160):
+    consumes keyframes the mapping worker has finished, runs place
+    recognition and (rarely) corrections. Separate from MappingWorker so a
+    detection or correction never starves triangulation — tracking depends
+    on fresh triangulated coverage frame-to-frame."""
+
+    def __init__(self, system):
+        self.system = system
+        self.q: queue.Queue = queue.Queue()
+        self.exc = None
+        self.processed = 0
+        self._thread = threading.Thread(
+            target=self._run, name="hfnet-loop", daemon=True)
+        self._thread.start()
+
+    def enqueue(self, store, k: int):
+        """LoopClosing::InsertKeyFrame analogue."""
+        self.q.put((store, int(k)))
+
+    def queue_size(self) -> int:
+        return self.q.qsize()
+
+    def drain(self):
+        self.q.join()
+        if self.exc is not None:
+            exc, self.exc = self.exc, None
+            raise exc
+
+    def stop(self):
+        self.q.put(None)
+        self._thread.join(timeout=60)
+
+    def _run(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                self.q.task_done()
+                return
+            store, k = item
+            try:
+                sys_ = self.system
+                lock = sys_.worker.map_lock
+                with lock:
+                    stale = store is not sys_.store or not store.kf_valid[k]
+                if not stale and sys_.loop_closer is not None:
+                    closed = sys_.loop_closer.process_keyframe(k)
+                    if closed:
+                        with lock:
+                            # the map moved under the tracker; restart its
+                            # motion model (Tracking does the same after
+                            # CorrectLoop)
+                            sys_.tracker.velocity = None
                 self.processed += 1
             except Exception as e:  # surfaced on the next drain()
                 self.exc = e

@@ -100,9 +100,10 @@ class SLAMSystem:
         self._traj_mark = 0
         self.viewer = None  # optional utils.viewer.LiveViewer
         self.worker = None
+        self.loop_worker = None
         self.gba_worker = None
         if c.async_mapping:
-            from .pipeline import GBAWorker, MappingWorker
+            from .pipeline import GBAWorker, LoopWorker, MappingWorker
 
             self.worker = MappingWorker(self)
             self.tracker.worker = self.worker
@@ -110,6 +111,9 @@ class SLAMSystem:
             self.mapper.lock = self.worker.map_lock
             if self.loop_closer is not None:
                 self.loop_closer.lock = self.worker.map_lock
+                # dedicated LoopClosing thread (System.cc:160): place
+                # recognition/corrections never block triangulation
+                self.loop_worker = LoopWorker(self)
                 # detached, abortable global BA (the reference's transient
                 # GBA thread): loop corrections return immediately and the
                 # solve overlaps tracking + mapping
@@ -223,10 +227,13 @@ class SLAMSystem:
             self.tracker.localization_only = False
 
     def finish(self):
-        """Drain the async mapping + GBA queues (no-op in sync mode). Call
-        before reading final map state or saving trajectories."""
+        """Drain the async mapping + loop + GBA queues (no-op in sync
+        mode). Call before reading final map state or saving trajectories.
+        Order is topological: mapping feeds loop, loop feeds GBA."""
         if self.worker is not None:
             self.worker.drain()
+        if self.loop_worker is not None:
+            self.loop_worker.drain()
         if self.gba_worker is not None:
             self.gba_worker.drain()
 
@@ -235,6 +242,9 @@ class SLAMSystem:
         if self.worker is not None:
             self.worker.drain()
             self.worker.stop()
+        if self.loop_worker is not None:
+            self.loop_worker.drain()
+            self.loop_worker.stop()
         if self.gba_worker is not None:
             self.gba_worker.drain()
             self.gba_worker.stop()

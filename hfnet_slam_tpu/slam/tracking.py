@@ -1141,7 +1141,12 @@ class Tracker:
         ref_mp = store.kf_obs[self.ref_kf]
         ref_mp = ref_mp[ref_mp >= 0]
         n_ref = int((store.mp_obs_count[ref_mp] >= min_obs).sum())
-        mapper_idle = self.worker is None or self.worker.queue_size() == 0
+        # "idle" = nothing WAITING (the worker may be mid-keyframe): this
+        # worker defers its BA while keyframes queue (pipeline.py), so a
+        # short queue means the new KF's association stages run promptly.
+        # The reference's stricter thread-idle test assumes a mapping
+        # thread that cannot defer work (LocalMapping.cc:140).
+        mapper_idle = self.worker is None or self.worker.queue_size() < 2
 
         need_close = False
         if is_depth:
@@ -1171,10 +1176,18 @@ class Tracker:
             return False
         if mapper_idle:
             return True
-        # mapping busy (:2524-2543): depth sensors still insert while the
-        # queue is short; monocular drops the keyframe
-        return is_depth and self.worker is not None and \
-            self.worker.queue_size() < 3
+        # mapping busy (:2524-2543): InterruptBA — abort the in-flight
+        # local BA so the mapper frees up and the NEXT frame's c1b can
+        # insert (Tracking.cc:2527-2535; without this, monocular keyframe
+        # creation starves whenever mapping keeps pace with the camera).
+        if self.mapper is not None:
+            self.mapper.abort_ba = True
+        # insert while the queue is short. The reference drops monocular
+        # keyframes here because its mapping thread may discard queued KFs
+        # wholesale (EmptyQueue); this worker processes the queue strictly
+        # in order, so a short queue is safe for monocular too — and on a
+        # slow host dropping them starves the map until tracking dies.
+        return self.worker is not None and self.worker.queue_size() < 3
 
     def _create_keyframe(self, frame):
         store = self.store

@@ -25,3 +25,10 @@ jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_hfnet_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy e2e tier (~8 min). Default run: pytest -m 'not slow' "
+        "(<5 min); slow tier: pytest -m slow")

@@ -76,6 +76,7 @@ def converted(ckpt):
     return cvt.convert(ckpt)  # _check_shapes runs inside
 
 
+@pytest.mark.slow
 def test_full_tree_conversion_shapes(converted):
     params = converted
     assert params["vlad_clusters"].shape == (64, 320)
@@ -83,6 +84,7 @@ def test_full_tree_conversion_shapes(converted):
     assert "expand" in params["blocks"][1]
 
 
+@pytest.mark.slow
 def test_prefix_robust_and_roundtrip(tmp_path, ckpt, converted):
     # SavedModel-style outer scope: same tree re-keyed under "pred/"
     # (in memory — an npz roundtrip of the ~400 MB source tree added a

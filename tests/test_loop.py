@@ -332,6 +332,7 @@ def loop_run():
     return sys_, np.asarray(est_c), np.asarray(gt_c)
 
 
+@pytest.mark.slow
 def test_loop_detected_and_corrected(loop_run):
     sys_, est, gtc = loop_run
     lc = sys_.loop_closer
@@ -341,6 +342,7 @@ def test_loop_detected_and_corrected(loop_run):
     assert len(sys_.store.loop_edges) >= 1
 
 
+@pytest.mark.slow
 def test_loop_trajectory_consistent(loop_run):
     from hfnet_slam_tpu.evaluation import ate
 
@@ -351,6 +353,7 @@ def test_loop_trajectory_consistent(loop_run):
     assert err < 0.05 * path, f"ATE {err:.3f} m over {path:.1f} m"
 
 
+@pytest.mark.slow
 def test_trajectory_recovery_propagates_correction(loop_run):
     """Relative-pose trajectory recovery (Tracking.cc:1604-1624): frames
     tracked BEFORE the loop correction must follow their reference KFs when
@@ -547,6 +550,7 @@ class TestGravityGate:
         assert abs(phi[0]) < 1e-6 and abs(phi[1]) < 1e-6  # pure yaw kept
 
 
+@pytest.mark.slow
 def test_temporal_sim3_refinement_confirms_loop():
     """With the reference's 3-consecutive-KF consistency requirement, the
     2nd and 3rd confirmations must come from the temporal Sim3 refinement
@@ -601,3 +605,92 @@ def test_temporal_sim3_refinement_confirms_loop():
     err = ate.ate_rmse(np.asarray(est_c), np.asarray(gt_c), with_scale=True)
     path = np.linalg.norm(np.diff(np.asarray(gt_c), axis=0), axis=1).sum()
     assert err < 0.05 * path, f"ATE {err:.3f} over {path:.1f} m"
+
+
+@pytest.mark.slow
+def test_tracking_not_blocked_by_correction(monkeypatch):
+    """The essential-graph solve runs OFF the map lock: the tracker must
+    complete frames while a correction's solve is in flight. Reference
+    bar: CorrectLoop pauses only LocalMapping, never Tracking
+    (LoopClosing.cc:1115-1133). The pose-graph solve is wrapped with an
+    artificial 1 s stall; frames tracked strictly inside the stall window
+    prove the lock is not held through it."""
+    import time as _time
+
+    from hfnet_slam_tpu.models.fake import FakeExtractor, SyntheticWorld
+    from hfnet_slam_tpu.optim import pose_graph as pg
+    from hfnet_slam_tpu.slam.local_mapping import MapperConfig
+    from hfnet_slam_tpu.slam.loop_closing import LoopCloserConfig
+    from hfnet_slam_tpu.slam.system import SLAMSystem, SystemConfig
+    from hfnet_slam_tpu.slam.tracking import TrackerConfig
+
+    solves = []
+    real = pg.optimize_pose_graph
+
+    def slow_solve(*a, **kw):
+        t0 = _time.perf_counter()
+        out = real(*a, **kw)
+        import jax as _jax
+
+        _jax.block_until_ready(out[0].R)
+        _time.sleep(1.0)  # pretend the solve takes a second
+        solves.append((t0, _time.perf_counter()))
+        return out
+
+    monkeypatch.setattr(pg, "optimize_pose_graph", slow_solve)
+
+    cam = make_cam()
+    rng = np.random.default_rng(11)
+    n_lm = 4000
+    th = rng.uniform(0, 2 * np.pi, n_lm)
+    rr = rng.uniform(12.0, 20.0, n_lm)
+    pts = np.stack([rr * np.sin(th), rng.uniform(-4.0, 4.0, n_lm),
+                    6.0 - rr * np.cos(th)], 1).astype(np.float32)
+    d = rng.standard_normal((n_lm, 64)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    world = SyntheticWorld(pts, d, rng)
+    ext = FakeExtractor(world, cam, pad_to=512, noise_px=0.3, desc_noise=0.03,
+                        max_landmarks_per_frame=480, seed=7, max_depth=25.0)
+    cfg = SystemConfig(
+        k_max=256, m_max=16384, n_slots=512, desc_dim=64, gdesc_dim=64,
+        async_mapping=True,
+        tracker=TrackerConfig(local_mp_cap=2048, min_init_med_parallax_deg=1.0),
+        mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=2048, ba_edge_cap=8192,
+                            tri_neighbors=5),
+        loop=LoopCloserConfig(
+            min_pair_matches=30, min_sim3_inliers=15, min_proj_matches=30,
+            consistency_hits=1, n_covis_window=5, window_mp_cap=2048,
+            gba_kf_cap=48, gba_mp_cap=4096, gba_edge_cap=16384,
+            ransac_hyps=256),
+    )
+    sys_ = SLAMSystem(cam, ext, cfg)
+    # a continuous multi-revolution orbit at the same angular rate as the
+    # 170-frame/2.25pi circuit: the camera keeps revisiting the start
+    n_max = 600
+    gt = circle_trajectory(n_max, total_angle=2.25 * np.pi * n_max / 170.0)
+    feats_all = [ext(R, t) for R, t in gt]
+    frames = []
+    # keep the tracker running until a correction's solve has completed —
+    # frames fed while the solve is in flight are the overlap evidence.
+    # Pace frames at the scenario's native 20 fps like a real camera:
+    # feeding flat-out starves the mapping worker (keyframes never accrue,
+    # no loop ever detected)
+    i = 0
+    while i < n_max and not solves:
+        f0 = _time.perf_counter()
+        sys_.track_features(feats_all[i], 0.05 * i)
+        f1 = _time.perf_counter()
+        frames.append((f0, f1))
+        i += 1
+        _time.sleep(max(0.0, 0.05 - (f1 - f0)))
+    sys_.finish()
+    corrected = sys_.loop_closer.stats["corrected"]
+    stats = dict(sys_.loop_closer.stats)
+    sys_.shutdown()
+    assert solves, f"pose-graph solve never invoked (stats: {stats})"
+    assert corrected >= 1, f"no loop correction ran (stats: {stats})"
+    inside = sum(1 for s0, s1 in solves
+                 for f0, f1 in frames if f0 > s0 and f1 < s1)
+    assert inside >= 3, (
+        f"tracker stalled through the correction: {inside} frames completed "
+        f"inside {len(solves)} solve window(s)")

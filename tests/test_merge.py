@@ -77,6 +77,7 @@ def merge_run():
     return sys_, np.asarray(est_c), np.asarray(gt_c), np.asarray(est_i), events
 
 
+@pytest.mark.slow
 def test_map_was_lost_and_merged(merge_run):
     sys_, est, gtc, idx, events = merge_run
     assert events["lost_to_new_map"], "blackout never forced a second map"
@@ -85,6 +86,7 @@ def test_map_was_lost_and_merged(merge_run):
     assert sys_.loop_closer.stats["merged"] >= 1
 
 
+@pytest.mark.slow
 def test_merged_trajectory_consistent(merge_run):
     from hfnet_slam_tpu.evaluation import ate
 
@@ -105,6 +107,7 @@ def test_merged_trajectory_consistent(merge_run):
     assert err_settled < 0.05, f"settled ATE {err_settled:.3f} m"
 
 
+@pytest.mark.slow
 def test_merged_map_is_single_consistent_store(merge_run):
     sys_, *_ = merge_run
     store = sys_.store

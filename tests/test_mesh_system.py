@@ -9,6 +9,8 @@ ATE, and both distribution paths actually exercised.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e tier
+
 import jax
 from jax.sharding import Mesh
 

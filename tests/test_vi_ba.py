@@ -188,6 +188,7 @@ class TestVIBundleAdjust:
                                    np.asarray(prob.bg[1]), atol=1e-7)
 
 
+@pytest.mark.slow
 class TestChunkedFullInertialBA:
     """Uncapped FullInertialBA (reference Optimizer.cc:392-813 optimizes
     EVERY keyframe): a map with 80+ chain keyframes — far beyond the old

@@ -11,6 +11,8 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # heavy e2e tier
+
 from hfnet_slam_tpu import lie
 from hfnet_slam_tpu.evaluation import ate
 from hfnet_slam_tpu.geometry import cameras

@@ -10,6 +10,8 @@ must become METRIC — ATE is checked WITHOUT scale correction.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e tier
+
 import jax
 import jax.numpy as jnp
 
