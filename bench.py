@@ -415,17 +415,25 @@ def _loop_metrics(smoke: bool, _ms: float) -> dict:
     feats_all = [ext(*gt_pose(i)) for i in range(n_frames)]
 
     def run_circuit():
+        """Frames PACED at the sequence's native 20 fps (ts step 0.05 s)
+        like a real camera: feeding flat-out starves the mapping worker of
+        wall-time and turns the run into a nondeterministic race — the
+        measurement here is tracking latency THROUGH corrections at the
+        production frame rate, not maximum enqueue throughput (that is
+        slam_stack_fps's job)."""
         sys_ = SLAMSystem(cam, ext, cfg)
         live_c, gt_c, when, frame_ms = [], [], [], []
         for i in range(n_frames):
             R, t = gt_pose(i)
             f0 = time.perf_counter()
             _, Re, te = sys_.track_features(feats_all[i], 0.05 * i)
-            frame_ms.append((time.perf_counter() - f0) * 1e3)
+            f1 = time.perf_counter()
+            frame_ms.append((f1 - f0) * 1e3)
             if Re is not None:
                 live_c.append(-Re.T @ te)
                 gt_c.append(-R.T @ t)
                 when.append(i)
+            time.sleep(max(0.0, 0.05 - (f1 - f0)))
         sys_.finish()
         return sys_, np.asarray(live_c), np.asarray(gt_c), when, frame_ms
 

@@ -126,8 +126,17 @@ class LocalMapper:
     # ------------------------------------------------------------------
     def initial_ba(self, kf0: int, kf1: int):
         """Two-keyframe global BA after monocular initialization
-        (Tracking.cc:1884: GlobalBundleAdjustemnt(20 its), first KF fixed)."""
-        self._run_ba([kf0, kf1], fixed_ids=[kf0], rounds=self.cfg.init_ba_rounds)
+        (Tracking.cc:1884: GlobalBundleAdjustemnt(20 its), first KF fixed).
+        Sized to the 2-KF problem (pow2-padded) instead of the local-BA
+        capacities — the init solve runs on the TRACKING thread and at
+        (ba_kf_cap, ba_mp_cap, ba_edge_cap) it cost ~1 s per (re)init."""
+        store = self.store
+        with self.lock:
+            n_mp = int((store.kf_obs[kf1] >= 0).sum())
+        mp_cap = 1 << max(6, int(max(n_mp, 1) - 1).bit_length())
+        self._run_ba([kf0, kf1], fixed_ids=[kf0],
+                     rounds=self.cfg.init_ba_rounds,
+                     kf_cap=2, mp_cap=mp_cap, edge_cap=2 * mp_cap)
 
     def process_keyframe(self, k: int, do_ba: bool = True):
         """The per-keyframe mapping pipeline (LocalMapping::Run body).
@@ -144,8 +153,13 @@ class LocalMapper:
             self.kf_count += 1
             self.kf_born[k] = self.kf_count
             self.cull_map_points()
-            self.create_new_points(k)
-            self.fuse_neighbors(k)
+        # triangulation + fuse manage the lock internally: their DEVICE
+        # programs run unlocked (gather under lock -> solve -> re-acquire,
+        # staleness-checked apply) so per-keyframe mapping never blocks a
+        # tracked frame for the kernel duration
+        self.create_new_points(k)
+        self.fuse_neighbors(k)
+        with self.lock:
             # map-point maintenance (MapPoint::ComputeDistinctiveDescriptors
             # + UpdateNormalAndDepth after new observations, src/MapPoint.cc)
             seen = self.store.kf_obs[k]
@@ -210,56 +224,64 @@ class LocalMapper:
         replaces the reference's per-neighbor matching + triangulation loop
         (LocalMapping.cc:513-894): all neighbor keyframes are matched,
         triangulated, and gated in a single device program; the host only
-        assigns the surviving observations."""
+        assigns the surviving observations. The device program runs OFF the
+        map lock (inputs gathered under it, results applied under it with
+        a big-change staleness discard)."""
         from . import fused
 
         store = self.store
         cfg = self.cfg
-        neighbors = store.covisible_kfs(k, n=cfg.tri_neighbors, min_weight=cfg.tri_min_covis)
-        if len(neighbors) == 0:
-            return
+        with self.lock:
+            big0 = store.big_change_idx
+            if not store.kf_valid[k]:
+                return
+            neighbors = store.covisible_kfs(k, n=cfg.tri_neighbors,
+                                            min_weight=cfg.tri_min_covis)
+            if len(neighbors) == 0:
+                return
 
-        Rk, tk = store.kf_R[k], store.kf_t[k]
-        xn_k = self._kf_xn(k)
-        sig2_k = (1.2 ** (2.0 * store.kf_octave[k])).astype(np.float32)
-        free_k = store.kf_mask[k] & (store.kf_obs[k] < 0)
-        f_px = float(self.cam.fx)
+            Rk, tk = store.kf_R[k].copy(), store.kf_t[k].copy()
+            xn_k = self._kf_xn(k)
+            sig2_k = (1.2 ** (2.0 * store.kf_octave[k])).astype(np.float32)
+            free_k = store.kf_mask[k] & (store.kf_obs[k] < 0)
+            f_px = float(self.cam.fx)
 
-        # median depth of k's current points, for the baseline gate
-        seen = store.kf_obs[k]
-        seen = seen[seen >= 0]
-        if len(seen) > 0:
-            depths = (store.mp_pos[seen] @ Rk.T + tk)[:, 2]
-            med_depth = float(np.median(depths))
-        else:
-            med_depth = 1.0
+            # median depth of k's current points, for the baseline gate
+            seen = store.kf_obs[k]
+            seen = seen[seen >= 0]
+            if len(seen) > 0:
+                depths = (store.mp_pos[seen] @ Rk.T + tk)[:, 2]
+                med_depth = float(np.median(depths))
+            else:
+                med_depth = 1.0
 
-        # baseline gate (LocalMapping.cc:603), host
-        ck = -Rk.T @ tk
-        keep = []
-        for j in neighbors:
-            cj = -store.kf_R[j].T @ store.kf_t[j]
-            if np.linalg.norm(ck - cj) >= cfg.min_baseline_depth_ratio * med_depth:
-                keep.append(int(j))
-        if not keep:
-            return
-        # fixed neighbor-batch shape: ONE compile for the whole run
-        B = 1 << int(np.ceil(np.log2(max(cfg.tri_neighbors, 1))))
-        N, D = store.n_slots, store.desc_dim
-        xn_j = np.zeros((B, N, 2), np.float32)
-        desc_j = np.zeros((B, N, D), np.float32)
-        sig2_j = np.ones((B, N), np.float32)
-        free_j = np.zeros((B, N), bool)
-        R21 = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
-        t21 = np.zeros((B, 3), np.float32)
-        for bi, j in enumerate(keep):
-            xn_j[bi] = self._kf_xn(j)
-            desc_j[bi] = store.kf_desc[j]
-            sig2_j[bi] = (1.2 ** (2.0 * store.kf_octave[j])).astype(np.float32)
-            free_j[bi] = store.kf_mask[j] & (store.kf_obs[j] < 0)
-            R21[bi] = store.kf_R[j] @ Rk.T
-            t21[bi] = store.kf_t[j] - R21[bi] @ tk
+            # baseline gate (LocalMapping.cc:603), host
+            ck = -Rk.T @ tk
+            keep = []
+            for j in neighbors:
+                cj = -store.kf_R[j].T @ store.kf_t[j]
+                if np.linalg.norm(ck - cj) >= cfg.min_baseline_depth_ratio * med_depth:
+                    keep.append(int(j))
+            if not keep:
+                return
+            # fixed neighbor-batch shape: ONE compile for the whole run
+            B = 1 << int(np.ceil(np.log2(max(cfg.tri_neighbors, 1))))
+            N, D = store.n_slots, store.desc_dim
+            xn_j = np.zeros((B, N, 2), np.float32)
+            desc_j = np.zeros((B, N, D), np.float32)
+            sig2_j = np.ones((B, N), np.float32)
+            free_j = np.zeros((B, N), bool)
+            R21 = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+            t21 = np.zeros((B, 3), np.float32)
+            for bi, j in enumerate(keep):
+                xn_j[bi] = self._kf_xn(j)
+                desc_j[bi] = store.kf_desc[j]
+                sig2_j[bi] = (1.2 ** (2.0 * store.kf_octave[j])).astype(np.float32)
+                free_j[bi] = store.kf_mask[j] & (store.kf_obs[j] < 0)
+                R21[bi] = store.kf_R[j] @ Rk.T
+                t21[bi] = store.kf_t[j] - R21[bi] @ tk
 
+        # ---- device program, UNLOCKED (tracking overlaps) ---------------
         idx, good, p1 = fused.triangulate_pairs_batch(
             xn_k, store.kf_desc[k], sig2_k, free_k,
             xn_j, desc_j, sig2_j, free_j, R21, t21, f_px,
@@ -269,25 +291,36 @@ class LocalMapper:
         good = np.asarray(good)
         p1 = np.asarray(p1)
 
-        n_new = 0
-        claimed = ~free_k  # anchor slots already carrying a point
-        for bi, j in enumerate(keep):
-            s_k = np.nonzero(good[bi] & ~claimed)[0]
-            if len(s_k) == 0:
-                continue
-            s_j = idx[bi][s_k]
-            pw = (p1[bi][s_k] - tk[None, :]) @ Rk  # Rk.T @ (p1 - tk)
-            d = store.kf_desc[k][s_k] + store.kf_desc[j][s_j]
-            d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
-            ids = store.add_points(pw, d, first_kf=k)  # grows at capacity
-            store.assign_observations(k, s_k, ids)
-            store.assign_observations(j, s_j, ids)
-            self.recent_points.extend((int(i), self.kf_count) for i in ids)
-            claimed[s_k] = True
-            n_new += len(ids)
-        if n_new:
-            store.update_covisibility(k)
-        self.stats["triangulated"] += n_new
+        with self.lock:
+            if store.big_change_idx != big0 or not store.kf_valid[k]:
+                return  # the whole map moved mid-solve: geometry is stale
+            n_new = 0
+            # FRESH claim state: slots may have gained points meanwhile
+            claimed = ~(store.kf_mask[k] & (store.kf_obs[k] < 0))
+            for bi, j in enumerate(keep):
+                if not store.kf_valid[j]:
+                    continue
+                s_k = np.nonzero(good[bi] & ~claimed)[0]
+                if len(s_k) == 0:
+                    continue
+                s_j = idx[bi][s_k]
+                # neighbor slots must still be free too
+                still = store.kf_obs[j][s_j] < 0
+                s_k, s_j = s_k[still], s_j[still]
+                if len(s_k) == 0:
+                    continue
+                pw = (p1[bi][s_k] - tk[None, :]) @ Rk  # Rk.T @ (p1 - tk)
+                d = store.kf_desc[k][s_k] + store.kf_desc[j][s_j]
+                d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+                ids = store.add_points(pw, d, first_kf=k)  # grows at capacity
+                store.assign_observations(k, s_k, ids)
+                store.assign_observations(j, s_j, ids)
+                self.recent_points.extend((int(i), self.kf_count) for i in ids)
+                claimed[s_k] = True
+                n_new += len(ids)
+            if n_new:
+                store.update_covisibility(k)
+            self.stats["triangulated"] += n_new
 
     # ------------------------------------------------------------------
     # fuse (LocalMapping::SearchInNeighbors, :895: two-way Matcher::Fuse)
@@ -306,29 +339,36 @@ class LocalMapper:
 
         store = self.store
         cfg = self.cfg
-        neighbors = store.covisible_kfs(k, n=cfg.tri_neighbors, min_weight=cfg.tri_min_covis)
-        if len(neighbors) == 0:
-            return
-        pairs = [(k, int(j)) for j in neighbors] + [(int(j), k) for j in neighbors]
-        P = 1 << int(np.ceil(np.log2(max(2 * cfg.tri_neighbors, 2))))
-        N, D = store.n_slots, store.desc_dim
-        R_t = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
-        t_t = np.zeros((P, 3), np.float32)
-        xy_t = np.zeros((P, N, 2), np.float32)
-        desc_t = np.zeros((P, N, D), np.float32)
-        oct_t = np.zeros((P, N), np.int32)
-        free_t = np.zeros((P, N), bool)
-        cand = np.full((P, N), -1, np.int32)
-        for pi, (tgt, src) in enumerate(pairs):
-            R_t[pi], t_t[pi] = store.kf_R[tgt], store.kf_t[tgt]
-            xy_t[pi] = store.kf_xy[tgt]
-            desc_t[pi] = store.kf_desc[tgt]
-            oct_t[pi] = store.kf_octave[tgt]
-            free_t[pi] = store.kf_mask[tgt] & (store.kf_obs[tgt] < 0)
-            cand[pi] = store.kf_obs[src]  # source point set, slot-aligned
+        with self.lock:
+            big0 = store.big_change_idx
+            if not store.kf_valid[k]:
+                return
+            neighbors = store.covisible_kfs(k, n=cfg.tri_neighbors,
+                                            min_weight=cfg.tri_min_covis)
+            if len(neighbors) == 0:
+                return
+            pairs = [(k, int(j)) for j in neighbors] + [(int(j), k) for j in neighbors]
+            P = 1 << int(np.ceil(np.log2(max(2 * cfg.tri_neighbors, 2))))
+            N, D = store.n_slots, store.desc_dim
+            R_t = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
+            t_t = np.zeros((P, 3), np.float32)
+            xy_t = np.zeros((P, N, 2), np.float32)
+            desc_t = np.zeros((P, N, D), np.float32)
+            oct_t = np.zeros((P, N), np.int32)
+            free_t = np.zeros((P, N), bool)
+            cand = np.full((P, N), -1, np.int32)
+            for pi, (tgt, src) in enumerate(pairs):
+                R_t[pi], t_t[pi] = store.kf_R[tgt], store.kf_t[tgt]
+                xy_t[pi] = store.kf_xy[tgt]
+                desc_t[pi] = store.kf_desc[tgt]
+                oct_t[pi] = store.kf_octave[tgt]
+                free_t[pi] = store.kf_mask[tgt] & (store.kf_obs[tgt] < 0)
+                cand[pi] = store.kf_obs[src]  # source point set, slot-aligned
 
-        dm = fused.get_device_map(store)
-        dm.sync()
+            dm = fused.get_device_map(store)
+            dm.sync()
+
+        # ---- device program, UNLOCKED (tracking overlaps) ---------------
         idx = np.asarray(fused.fuse_pairs_batch(
             self.cam.kind, self.cam.params,
             float(self.cam.width), float(self.cam.height),
@@ -336,27 +376,33 @@ class LocalMapper:
             dm.pos, dm.desc, dm.valid,
             radius=float(cfg.fuse_radius), max_dist=float(cfg.fuse_max_dist)))
 
-        for pi, (tgt, src) in enumerate(pairs):
-            slots = np.nonzero(idx[pi] >= 0)[0]
-            if len(slots) == 0:
-                continue
-            mp_new = cand[pi][idx[pi][slots]]
-            ok = store.mp_valid[mp_new]
-            # drop points the target already observes (duplicate guard) and
-            # duplicate claims within this pass
-            tgt_obs = store.kf_obs[tgt]
-            ok &= ~np.isin(mp_new, tgt_obs[tgt_obs >= 0])
-            _, first = np.unique(mp_new, return_index=True)
-            uniq = np.zeros(len(mp_new), bool)
-            uniq[first] = True
-            ok &= uniq
-            # slots may have gained a point since the snapshot (earlier pair
-            # in this same pass): only claim still-free slots
-            ok &= store.kf_obs[tgt][slots] < 0
-            if ok.any():
-                store.assign_observations(tgt, slots[ok], mp_new[ok])
-                self.stats["fused"] += int(ok.sum())
-        store.update_covisibility(k)
+        with self.lock:
+            if store.big_change_idx != big0:
+                return  # whole-map move mid-solve: projections are stale
+            for pi, (tgt, src) in enumerate(pairs):
+                if not store.kf_valid[tgt]:
+                    continue
+                slots = np.nonzero(idx[pi] >= 0)[0]
+                if len(slots) == 0:
+                    continue
+                mp_new = cand[pi][idx[pi][slots]]
+                ok = store.mp_valid[mp_new]
+                # drop points the target already observes (duplicate guard)
+                # and duplicate claims within this pass
+                tgt_obs = store.kf_obs[tgt]
+                ok &= ~np.isin(mp_new, tgt_obs[tgt_obs >= 0])
+                _, first = np.unique(mp_new, return_index=True)
+                uniq = np.zeros(len(mp_new), bool)
+                uniq[first] = True
+                ok &= uniq
+                # slots may have gained a point since the snapshot (earlier
+                # pair in this pass, or the tracker): only still-free slots
+                ok &= store.kf_obs[tgt][slots] < 0
+                if ok.any():
+                    store.assign_observations(tgt, slots[ok], mp_new[ok])
+                    self.stats["fused"] += int(ok.sum())
+            if store.kf_valid[k]:
+                store.update_covisibility(k)
 
     # ------------------------------------------------------------------
     # local BA (Optimizer::LocalBundleAdjustment, Optimizer.cc:1116)

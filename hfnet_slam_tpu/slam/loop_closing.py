@@ -86,6 +86,9 @@ class LoopCloser:
         # detached GBA thread (pipeline.GBAWorker) in async mode; None ->
         # global BA runs inline (synchronous pipeline / tests)
         self.gba_worker = None
+        # MappingWorker to pause during corrections (the reference's
+        # RequestStop, LoopClosing.cc:1115-1133) — set by SLAMSystem
+        self.mapping_worker = None
         self.consistent_hits = 0
         self.last_candidate = -1
         # temporal Sim3 state (DetectAndReffineSim3FromLastKF,
@@ -96,6 +99,12 @@ class LoopCloser:
         self.stats = {"detected": 0, "corrected": 0, "checked": 0,
                       "merged": 0, "refined": 0}
         self.last_loop = None  # (kf, cand) of the last corrected loop
+        # refractory window after a correction (the reference skips
+        # detection until 10 KFs past the last loop, mLastLoopKFid + 10):
+        # the freshly welded region would otherwise re-detect immediately
+        self._kf_seq = 0
+        self._last_loop_seq = -10**9
+        self.loop_refractory_kfs = 10
 
     # ------------------------------------------------------------------
     def process_keyframe(self, k: int) -> bool:
@@ -106,14 +115,16 @@ class LoopCloser:
 
         Locking discipline (the reference NEVER pauses Tracking for a
         correction — CorrectLoop stops only LocalMapping,
-        LoopClosing.cc:1115-1133): detection and the (ms-scale) Sim3 window
-        propagation + batched fuse run under the map lock; the essential-
-        graph SOLVE runs OFF the lock on a problem snapshot and its
-        write-back is discarded if the map moved underneath
-        (big_change_idx — the same staleness pattern the detached BA
-        uses)."""
-        with self.lock:
-            act = self._process_keyframe(k)
+        LoopClosing.cc:1115-1133): DETECTION runs entirely OFF the map
+        lock — it only reads, its kernels (retrieval matmul, brute-force
+        match, Sim3 RANSAC) are seconds-scale on a cold host, and a read
+        racing a concurrent row write can at worst mis-gate one candidate
+        (every decision is re-validated under the lock before any
+        mutation). The correction takes the lock for the ms-scale window
+        propagation + batched fuse; the essential-graph SOLVE runs off the
+        lock on a problem snapshot with a big_change_idx staleness
+        discard."""
+        act = self._process_keyframe(k)
         if isinstance(act, tuple):
             self._correct_loop(k, *act)
             return True
@@ -122,6 +133,9 @@ class LoopCloser:
     def _process_keyframe(self, k: int) -> bool:
         store = self.store
         cfg = self.cfg
+        self._kf_seq += 1
+        if self._kf_seq - self._last_loop_seq < self.loop_refractory_kfs:
+            return False  # refractory: just corrected this region
         if store.kf_valid.sum() < cfg.min_kfs_in_map:
             # small maps can't loop on themselves, but CAN merge into a
             # stored map (the recovery path after relocalization fails)
@@ -359,7 +373,11 @@ class LoopCloser:
                 hit = self._match_candidate(k, cand, store_b=m)
                 if hit is None:
                     continue
-                if sys_.execute_merge(idx, k, cand, *hit):
+                # the weld mutates both maps + the tracker: map lock held
+                # (detection above ran lock-free; execute_merge re-checks)
+                with self.lock:
+                    merged = sys_.execute_merge(idx, k, cand, *hit)
+                if merged:
                     self.stats["merged"] += 1
                     return True
         return False
@@ -493,44 +511,64 @@ class LoopCloser:
         store = self.store
         cfg = self.cfg
 
-        with self.lock:
-            kf_ids = store.valid_kf_ids()
-            pre_R = store.kf_R.copy()
-            pre_t = store.kf_t.copy()
-
-            S_cw, window = self.propagate_window_correction(
-                k, cand, R_cm, t_cm, s_cm)
-
-            # fuse loop landmarks into the corrected window
-            # (SearchAndFuse :2255) — ONE batched device program
-            self._fuse_loop_points(window, loop_mps)
-
-            store.loop_edges.append((int(cand), int(k)))
-            # the window move IS a whole-map-relevant change: concurrent
-            # solves built on pre-correction geometry must discard
-            store.bump_change()
-            big0 = store.big_change_idx
-
-            built = self._build_essential_graph(
-                kf_ids, pre_R, pre_t, k, cand, (R_cm, t_cm, s_cm))
-
-        if built is not None:
-            prob, meta = built
-            # ---- the solve runs OFF the map lock (tracking overlaps) ----
-            mode = "4dof" if store.imu_initialized else "sim3"
-            out, _ = pg.optimize_pose_graph(prob, n_iters=cfg.pg_iters,
-                                            fix_scale=cfg.fix_scale,
-                                            mode=mode)
-            out = (np.asarray(out.R), np.asarray(out.t), np.asarray(out.s))
+        # pause MAPPING (never tracking) for the correction — the
+        # reference's RequestStop handshake (LoopClosing.cc:1115-1133):
+        # no BA write-back or triangulation may interleave the detached
+        # pose-graph solve (their row-level changes don't bump
+        # big_change_idx, so the staleness guard alone cannot see them)
+        mw = self.mapping_worker
+        if mw is not None:
+            mw.request_pause()
+        try:
             with self.lock:
-                if store.big_change_idx == big0:
-                    self._apply_pose_graph(meta, out)
-                    store.bump_change()
-                else:
-                    from ..utils.log import warn
+                # detection ran on the loop thread while mapping worked
+                # concurrently: either endpoint may have been CULLED since
+                if not (store.kf_valid[k] and store.kf_valid[cand]):
+                    return
+                kf_ids = store.valid_kf_ids()
+                pre_R = store.kf_R.copy()
+                pre_t = store.kf_t.copy()
 
-                    warn("loop: essential-graph solve discarded "
-                         "(map moved during the detached solve)")
+                S_cw, window = self.propagate_window_correction(
+                    k, cand, R_cm, t_cm, s_cm)
+                # the window move IS a whole-map-relevant change: concurrent
+                # solves built on pre-correction geometry must discard, the
+                # device map mirror must re-upload (the propagation wrote
+                # mp_pos directly), and the tracker resets its motion model
+                store.loop_edges.append((int(cand), int(k)))
+                store.bump_change()
+
+                # fuse loop landmarks into the corrected window
+                # (SearchAndFuse :2255) — ONE batched device program
+                self._fuse_loop_points(window, loop_mps)
+
+                big0 = store.big_change_idx
+
+                built = self._build_essential_graph(
+                    kf_ids, pre_R, pre_t, k, cand, (R_cm, t_cm, s_cm))
+
+            if built is not None:
+                prob, meta = built
+                # ---- the solve runs OFF the map lock (tracking overlaps;
+                # mapping is paused so only born keyframes can appear) ----
+                mode = "4dof" if store.imu_initialized else "sim3"
+                out, _ = pg.optimize_pose_graph(prob, n_iters=cfg.pg_iters,
+                                                fix_scale=cfg.fix_scale,
+                                                mode=mode)
+                out = (np.asarray(out.R), np.asarray(out.t),
+                       np.asarray(out.s))
+                with self.lock:
+                    if store.big_change_idx == big0:
+                        self._apply_pose_graph(meta, out)
+                        store.bump_change()
+                    else:
+                        from ..utils.log import warn
+
+                        warn("loop: essential-graph solve discarded "
+                             "(map moved during the detached solve)")
+        finally:
+            if mw is not None:
+                mw.resume()
 
         # ---- global BA (:2408; FullInertialBA(7) for inertial maps) -----
         # In async mode the solve runs DETACHED on the GBAWorker (the
@@ -557,6 +595,7 @@ class LoopCloser:
                     self.mapper.run_global_ba(**kwargs)
         self.stats["corrected"] += 1
         self.last_loop = (int(k), int(cand))
+        self._last_loop_seq = self._kf_seq
 
     def propagate_window_correction(self, k, cand, R_cm, t_cm, s_cm):
         """Sim3-propagate the loop correction through the current KF's
@@ -570,8 +609,9 @@ class LoopCloser:
         Rc, tc = store.kf_R[cand], store.kf_t[cand]
         S_cw = (R_cm @ Rc, s_cm * (R_cm @ tc) + t_cm, s_cm)
 
-        # current window = k + covisibles (:1173)
-        window = [int(k)] + [int(j) for j in store.covisible_kfs(k, n=32, min_weight=1)]
+        # current window = k + covisibles (:1173). 31 so the fuse batch is
+        # always the SAME padded shape (32): one compile for the lifetime
+        window = [int(k)] + [int(j) for j in store.covisible_kfs(k, n=31, min_weight=1)]
         window = [w for w in window if store.kf_valid[w]]
 
         corr_R = {}; corr_t = {}; corr_s = {}
@@ -628,7 +668,9 @@ class LoopCloser:
         All window keyframes run as ONE batched device program
         (fused.fuse_pairs_batch over a padded KF axis) instead of a
         per-KF search_by_projection loop — the loop dominated the
-        correction's lock-held time (VERDICT r3 weak #1)."""
+        correction's lock-held time (VERDICT r3 weak #1). The kernel runs
+        with the lock RELEASED (mapping is paused by the correction;
+        only the tracker can claim new slots, and the apply re-checks)."""
         from . import fused
 
         store = self.store
@@ -641,7 +683,9 @@ class LoopCloser:
         window = [int(i) for i in window if store.kf_valid[i]]
         if not window:
             return
-        P = 1 << max(3, int(len(window) - 1).bit_length())
+        # FIXED batch shape (the correction window is capped at 32 KFs):
+        # one fuse compile for the process lifetime, never under-lock
+        P = 32
         N, D = store.n_slots, store.desc_dim
         R_t = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
         t_t = np.zeros((P, 3), np.float32)
@@ -660,12 +704,16 @@ class LoopCloser:
 
         dm = fused.get_device_map(store)
         dm.sync()
-        idx = np.asarray(fused.fuse_pairs_batch(
-            self.cam.kind, self.cam.params,
-            float(self.cam.width), float(self.cam.height),
-            R_t, t_t, xy_t, desc_t, oct_t, msk_t, cand,
-            dm.pos, dm.desc, dm.valid,
-            radius=float(cfg.proj_radius), max_dist=0.75))
+        self.lock.release()  # the kernel reads only the snapshots above
+        try:
+            idx = np.asarray(fused.fuse_pairs_batch(
+                self.cam.kind, self.cam.params,
+                float(self.cam.width), float(self.cam.height),
+                R_t, t_t, xy_t, desc_t, oct_t, msk_t, cand,
+                dm.pos, dm.desc, dm.valid,
+                radius=float(cfg.proj_radius), max_dist=0.75))
+        finally:
+            self.lock.acquire()
 
         for pi, i in enumerate(window):
             slots = np.nonzero(idx[pi] >= 0)[0]
@@ -737,21 +785,11 @@ class LoopCloser:
         if not pairs:
             return None
 
-        # measurements from pre-correction SE3 poses (scale 1)
-        s_one = np.ones(len(pre_R), np.float32)
-        Rm, tm, sm, w = pg.make_edges_from_poses(
-            pre_R[kf_ids], pre_t[kf_ids], s_one[kf_ids],
-            np.asarray(pairs), np.asarray(weights),
-        )
-        # the loop edge carries the measured Sim3: edge (i=cand, j=k),
-        # measurement S_km = S_cm (maps cand-cam coords into k-cam coords)
-        pairs.append((loc[int(cand)], loc[int(k)]))
-        Rm = np.concatenate([Rm, np.asarray(S_cm[0])[None]], 0)
-        tm = np.concatenate([tm, np.asarray(S_cm[1])[None]], 0)
-        sm = np.concatenate([sm, np.asarray([S_cm[2]], np.float32)], 0)
-        w = np.concatenate([w, np.asarray([1.0], np.float32)], 0)
-
-        # ---- pad K/E to powers of two (bounded compile count) -----------
+        # ---- pad K/E to powers of two BEFORE any device work: exact
+        # shapes here meant a fresh XLA compile per correction, UNDER the
+        # map lock (the round-3 p99 spike) ---------------------------------
+        pairs.append((loc[int(cand)], loc[int(k)]))  # loop edge, slot E-1
+        weights.append(1.0)
         E = len(pairs)
         Kp = 1 << max(3, int(K - 1).bit_length())
         Ep = 1 << max(4, int(E - 1).bit_length())
@@ -759,13 +797,26 @@ class LoopCloser:
         e_j = np.zeros(Ep, np.int32)
         e_i[:E] = [p[0] for p in pairs]
         e_j[:E] = [p[1] for p in pairs]
-        e_R = np.tile(np.eye(3, dtype=np.float32), (Ep, 1, 1))
-        e_t = np.zeros((Ep, 3), np.float32)
-        e_s = np.ones(Ep, np.float32)
         e_w = np.zeros(Ep, np.float32)
-        e_R[:E], e_t[:E], e_s[:E], e_w[:E] = Rm, tm, sm, w
+        e_w[:E] = weights
         e_valid = np.zeros(Ep, bool)
         e_valid[:E] = True
+
+        # measurements from pre-correction SE3 poses (scale 1), computed at
+        # the PADDED edge count (padding pairs alias vertex 0 -> identity)
+        s_one = np.ones(len(pre_R), np.float32)
+        e_R, e_t, e_s, _ = pg.make_edges_from_poses(
+            pre_R[kf_ids], pre_t[kf_ids], s_one[kf_ids],
+            np.stack([e_i, e_j], 1), e_w,
+        )
+        # the loop edge carries the measured Sim3: edge (i=cand, j=k),
+        # measurement S_km = S_cm (maps cand-cam coords into k-cam coords)
+        e_R = np.array(e_R)  # writable copies (np.asarray of jax is RO)
+        e_t = np.array(e_t)
+        e_s = np.array(e_s)
+        e_R[E - 1] = np.asarray(S_cm[0])
+        e_t[E - 1] = np.asarray(S_cm[1])
+        e_s[E - 1] = float(S_cm[2])
 
         # ---- vertices: corrected sim3 for window, pre poses elsewhere ----
         V_R = np.tile(np.eye(3, dtype=np.float32), (Kp, 1, 1))

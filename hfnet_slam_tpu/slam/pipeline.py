@@ -42,6 +42,13 @@ class MappingWorker:
         self.map_lock = threading.RLock()
         self.exc = None
         self.processed = 0
+        # pause protocol (LocalMapping::RequestStop, LocalMapping.cc:
+        # 1013-1084): loop corrections pause MAPPING (never tracking) so
+        # no BA write-back or triangulation interleaves a detached
+        # pose-graph solve — keyframes keep queueing and are processed on
+        # resume
+        self._pause = threading.Event()
+        self._busy = False
         self._thread = threading.Thread(
             target=self._run, name="hfnet-mapping", daemon=True)
         self._thread.start()
@@ -53,6 +60,21 @@ class MappingWorker:
 
     def queue_size(self) -> int:
         return self.q.qsize()
+
+    # -- loop-closer API ----------------------------------------------------
+    def request_pause(self, timeout: float = 30.0):
+        """Pause processing between queue items and wait until any
+        in-flight item finishes (RequestStop + isStopped handshake)."""
+        import time as _time
+
+        self._pause.set()
+        t0 = _time.monotonic()
+        while self._busy and _time.monotonic() - t0 < timeout:
+            _time.sleep(0.002)
+
+    def resume(self):
+        """LocalMapping::Release analogue."""
+        self._pause.clear()
 
     def drain(self):
         """Block until every queued keyframe is fully processed; re-raise a
@@ -74,6 +96,11 @@ class MappingWorker:
                 self.q.task_done()
                 return
             store, k = item
+            while self._pause.is_set():  # paused by a loop correction
+                import time as _time
+
+                _time.sleep(0.002)
+            self._busy = True
             try:
                 sys_ = self.system
                 with self.map_lock:
@@ -109,6 +136,7 @@ class MappingWorker:
             except Exception as e:  # surfaced on the next drain()
                 self.exc = e
             finally:
+                self._busy = False
                 self.q.task_done()
 
 
@@ -151,7 +179,25 @@ class LoopWorker:
             if item is None:
                 self.q.task_done()
                 return
-            store, k = item
+            # collapse backlog to the NEWEST queued keyframe: when place
+            # recognition runs slower than keyframes arrive, detecting for
+            # a minutes-old keyframe against the CURRENT map state produces
+            # temporally inconsistent (false) corrections. The reference
+            # tolerates lag because its detection is fast; on a slow host
+            # skipping superseded keyframes is the faithful trade — the
+            # newest KF carries the same place signal.
+            items = [item]
+            stop = False
+            while True:
+                try:
+                    nxt = self.q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    stop = True
+                    break
+                items.append(nxt)
+            store, k = items[-1]
             try:
                 sys_ = self.system
                 lock = sys_.worker.map_lock
@@ -169,7 +215,11 @@ class LoopWorker:
             except Exception as e:  # surfaced on the next drain()
                 self.exc = e
             finally:
-                self.q.task_done()
+                for _ in items:
+                    self.q.task_done()
+                if stop:
+                    self.q.task_done()  # the sentinel's own get
+                    return
 
 
 class GBAWorker:

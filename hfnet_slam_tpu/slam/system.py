@@ -111,6 +111,7 @@ class SLAMSystem:
             self.mapper.lock = self.worker.map_lock
             if self.loop_closer is not None:
                 self.loop_closer.lock = self.worker.map_lock
+                self.loop_closer.mapping_worker = self.worker
                 # dedicated LoopClosing thread (System.cc:160): place
                 # recognition/corrections never block triangulation
                 self.loop_worker = LoopWorker(self)

@@ -62,6 +62,12 @@ class TrackerConfig:
     th_low: float = 0.6
     # acceptance gates (Tracking.cc)
     min_init_matches: int = 100
+    # init matcher gates (SearchForInitialization, Matcher.cc:486): the
+    # defaults assume trained-descriptor distinctiveness; weakly
+    # distinctive descriptors (e.g. an unconverted CNN) need the ratio
+    # test relaxed
+    init_match_max_dist: float = 0.6
+    init_match_ratio: float = 0.9
     min_motion_matches: int = 20
     min_ref_matches: int = 15
     min_pose_inliers: int = 10
@@ -409,12 +415,22 @@ class Tracker:
             return
 
         ref = self.init_ref
-        idx, _ = search.search_for_initialization(
-            ref.feats.xy, ref.feats.desc, ref.feats.mask,
-            frame.feats.xy, frame.feats.desc, frame.feats.mask,
-            window=cfg.init_window,
-        )
-        idx = np.asarray(idx)
+        # the matching + two-view RANSAC below touch no store state: run
+        # them with the map lock RELEASED. Holding it through the repeated
+        # (re)init attempts monopolizes the lock for ~90% of wall time and
+        # starves the mapping worker — the fresh map then dies young for
+        # lack of triangulated coverage, spiraling into more reinits.
+        self.lock.release()
+        try:
+            idx, _ = search.search_for_initialization(
+                ref.feats.xy, ref.feats.desc, ref.feats.mask,
+                frame.feats.xy, frame.feats.desc, frame.feats.mask,
+                window=cfg.init_window,
+                max_dist=cfg.init_match_max_dist, ratio=cfg.init_match_ratio,
+            )
+            idx = np.asarray(idx)
+        finally:
+            self.lock.acquire()
         n_matches = int((idx >= 0).sum())
         if n_matches < cfg.min_init_matches:
             self.init_ref = frame
@@ -433,10 +449,15 @@ class Tracker:
         m2[: len(slots1)] = xn2[slots2]
         mask = np.arange(N) < len(slots1)
 
-        res = twoview.reconstruct_two_views(
-            jnp.asarray(m1), jnp.asarray(m2), jnp.asarray(mask),
-            self._key, 1.0 / float(self.cam.fx),
-        )
+        self.lock.release()  # device-heavy H/F RANSAC: no store access
+        try:
+            res = twoview.reconstruct_two_views(
+                jnp.asarray(m1), jnp.asarray(m2), jnp.asarray(mask),
+                self._key, 1.0 / float(self.cam.fx),
+            )
+            res = {k: np.asarray(v) for k, v in res.items()}
+        finally:
+            self.lock.acquire()
         if (
             not bool(res["ok"])
             or int(res["n_good"]) < cfg.min_init_points
@@ -473,9 +494,16 @@ class Tracker:
         store.assign_observations(kf1, s2, ids)
         store.update_covisibility(kf1)
 
-        # init global BA (20 its) + median depth normalization (:1884-1915)
+        # init global BA (20 its) + median depth normalization (:1884-1915).
+        # The solve runs with the tracker's outer lock hold RELEASED (the
+        # mapper takes the lock itself for its build/write-back sections):
+        # holding it through a 20-iteration LM starves the mapping worker
         if self.mapper is not None:
-            self.mapper.initial_ba(kf0, kf1)
+            self.lock.release()
+            try:
+                self.mapper.initial_ba(kf0, kf1)
+            finally:
+                self.lock.acquire()
         depths = (store.mp_pos[ids] @ store.kf_R[kf0].T + store.kf_t[kf0])[:, 2]
         med = float(np.median(depths))
         if med <= 0:
@@ -821,7 +849,17 @@ class Tracker:
         # a 24 ms frame before batching)
         import jax
 
-        out = jax.device_get(out)
+        # the WAIT runs with the map lock RELEASED: the tracker holds the
+        # lock ~90% of a paced frame otherwise, and the (unfair) RLock then
+        # starves the mapping worker for seconds — triangulation stalls,
+        # coverage dies, tracking follows. The program was DISPATCHED under
+        # the lock (its input buffers are pinned by the execution), so the
+        # mapping worker may freely mutate the store while we wait.
+        self.lock.release()
+        try:
+            out = jax.device_get(out)
+        finally:
+            self.lock.acquire()
         n1, n_in1, n_in2 = (int(x) for x in out["stats"])
         if n1 < cfg.min_motion_matches or n_in1 < cfg.min_pose_inliers:
             return False  # staged fallbacks (ref-KF brute force) take over
@@ -831,6 +869,10 @@ class Tracker:
         frame.R = np.array(out["R"])
         frame.t = np.array(out["t"])
         frame.obs = np.array(out["obs"])
+        # points culled by the worker during the unlocked wait are dead ids
+        frame.obs = np.where(
+            store.mp_valid[np.clip(frame.obs, 0, store.m_max - 1)]
+            & (frame.obs >= 0), frame.obs, -1).astype(np.int32)
         self.n_inliers = n_in2
 
         # visibility / found statistics (parity with _track_local_map)
