@@ -86,10 +86,22 @@ def main():
         e2e_ok = True
         sections = [("stack", _stack_metrics)]
         if not smoke:  # accuracy artifacts (VERDICT r2 #2); full tier only
-            sections += [("loop", _loop_metrics), ("vi", _vi_metrics)]
+            sections += [("loop", _loop_metrics), ("vi", _vi_metrics),
+                         ("cnn", _cnn_metrics)]
+        pinned = jax.default_backend() != "cpu"
         for name, fn in sections:
             try:
-                line["extra"].update(fn(smoke, ms))
+                if name == "cnn" and pinned:
+                    # the CNN section trains + extracts on the ACCELERATOR
+                    # (a 250-step fine-tune + 4-level convs are not CPU
+                    # work); lift the host pin around it
+                    jax.config.update("jax_default_device", None)
+                try:
+                    line["extra"].update(fn(smoke, ms))
+                finally:
+                    if name == "cnn" and pinned:
+                        jax.config.update("jax_default_device",
+                                          jax.devices("cpu")[0])
             except Exception as e:  # never lose the headline metric
                 e2e_ok = False
                 import traceback
@@ -468,6 +480,91 @@ def _loop_metrics(smoke: bool, _ms: float) -> dict:
         "loop_frame_ms_p50": round(float(np.percentile(frame_ms, 50)), 2),
         "loop_frame_ms_p99": round(float(np.percentile(frame_ms, 99)), 2),
     }
+
+
+def _cnn_metrics(smoke: bool, _ms: float) -> dict:
+    """The REAL HF-Net forward inside the SLAM loop (VERDICT r3 #3): a
+    synthetic RGB-D world (models/synth.CylinderWorld) provides images +
+    exact depth; the network is made usable by on-the-fly self-supervised
+    fine-tuning on the world's exact correspondences (models/selftrain.py
+    — the public checkpoint cannot enter this environment), then the
+    production extraction path (models/extractor -> ops/extract) feeds the
+    tracker frame by frame.
+
+    Reports: cnn_e2e_fps (sequential extract+track wall rate — through the
+    axon tunnel each frame pays a device round-trip a co-located host
+    would not), ate_cnn_m (scale-free ATE of the run), cnn_train_s,
+    cnn_tracked_frac."""
+    if smoke:
+        return {}
+    import jax.numpy as jnp
+
+    from hfnet_slam_tpu.evaluation import ate
+    from hfnet_slam_tpu.geometry import cameras
+    from hfnet_slam_tpu.models import selftrain
+    from hfnet_slam_tpu.models.extractor import HFExtractor
+    from hfnet_slam_tpu.models.synth import CylinderWorld
+    from hfnet_slam_tpu.slam.local_mapping import MapperConfig
+    from hfnet_slam_tpu.slam.system import SLAMSystem, SystemConfig
+    from hfnet_slam_tpu.slam.tracking import LOST, TrackerConfig
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:  # production EuRoC-like shapes
+        W, H, n_feat, n_lvl, pad, n_steps, n_frames = \
+            640, 480, 675, 4, 1024, 250, 120
+    else:       # CPU full tier: bounded sizes
+        W, H, n_feat, n_lvl, pad, n_steps, n_frames = \
+            320, 240, 400, 2, 1024, 100, 60
+    cam = cameras.pinhole(0.70 * W, 0.70 * W, W / 2.0, H / 2.0, W, H)
+    world = CylinderWorld(cam, n_blobs=1400, seed=5)
+    params, tstats = selftrain.train(world, n_steps=n_steps, n_pairs=192,
+                                     pose_range=n_frames,
+                                     n_frames_cache=24)
+    ext = HFExtractor(params, (H, W), n_features=n_feat, n_levels=n_lvl,
+                      pad_to=pad, threshold=0.003)
+    bf = 0.1 * float(np.asarray(cam.params)[0])
+    cfg = SystemConfig(
+        k_max=128, m_max=16384, n_slots=pad, desc_dim=256, gdesc_dim=4096,
+        loop_closing=False, baseline=0.1,
+        tracker=TrackerConfig(local_mp_cap=2048, bf=bf, th_high=0.6,
+                              th_low=0.5, motion_window=8.0,
+                              local_window=3.0, th_depth=30.0),
+        mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=4096, ba_edge_cap=16384,
+                            tri_neighbors=5, bf=bf),
+    )
+    sys_ = SLAMSystem(cam, ext, cfg)
+    frames = [world.render_rgbd(*world.orbit_pose(i)) for i in range(n_frames)]
+    est, gtc, states = [], [], []
+    warm = min(20, n_frames // 3)
+    t0 = None
+    for i in range(n_frames):
+        if i == warm:
+            t0 = time.perf_counter()
+        R, t = world.orbit_pose(i)
+        img, dep = frames[i]
+        st, Re, te = sys_.track_rgbd(jnp.asarray(img), dep, 0.05 * i)
+        states.append(st)
+        if Re is not None:
+            est.append(-Re.T @ te)
+            gtc.append(-R.T @ t)
+    dt = time.perf_counter() - t0
+    sys_.shutdown()
+    out = {
+        "cnn_e2e_fps": round((n_frames - warm) / dt, 2),
+        "cnn_train_s": tstats["train_s"],
+        "cnn_train_loss": (round(tstats["loss_last"], 3)
+                           if tstats["loss_last"] is not None else None),
+        "cnn_tracked_frac": round(len(est) / n_frames, 3),
+        "cnn_lost": int(sum(1 for s in states if s == LOST)),
+    }
+    if len(est) > 20:
+        err = float(ate.ate_rmse(np.asarray(est), np.asarray(gtc),
+                                 with_scale=False))
+        path = float(np.linalg.norm(np.diff(np.asarray(gtc), axis=0),
+                                    axis=1).sum())
+        out["ate_cnn_m"] = round(err, 4)
+        out["cnn_path_m"] = round(path, 2)
+    return out
 
 
 def _vi_metrics(smoke: bool, _ms: float) -> dict:
