@@ -300,16 +300,20 @@ def slam_loop_fps(smoke: bool):
     from hfnet_slam_tpu.slam.system import SLAMSystem, SystemConfig
     from hfnet_slam_tpu.slam.tracking import TrackerConfig
 
+    # PRODUCTION shapes (VERDICT r3 #2): 1024 keypoint slots, 256-d local
+    # descriptors, 4096-d global descriptors, 256-KF map capacity — the
+    # EuRoC deployment numbers, not the quarter-scale test sizes
     cam = cameras.pinhole(450.0, 450.0, 320.0, 240.0, 640, 480)
-    world = SyntheticWorld.cloud(seed=5, n_landmarks=1400, extent=16.0,
-                                 center=(0, 0, 10.0), desc_dim=64)
-    ext = FakeExtractor(world, cam, pad_to=512, noise_px=0.3,
-                        desc_noise=0.03, max_landmarks_per_frame=480, seed=7)
+    world = SyntheticWorld.cloud(seed=5, n_landmarks=2600, extent=16.0,
+                                 center=(0, 0, 10.0), desc_dim=256)
+    ext = FakeExtractor(world, cam, pad_to=1024, noise_px=0.3,
+                        desc_noise=0.03, max_landmarks_per_frame=900, seed=7,
+                        gdesc_dim=4096)
     cfg = SystemConfig(
-        k_max=128, m_max=8192, n_slots=512, desc_dim=64, gdesc_dim=64,
+        k_max=256, m_max=16384, n_slots=1024, desc_dim=256, gdesc_dim=4096,
         async_mapping=True,
-        tracker=TrackerConfig(local_mp_cap=1024, min_init_med_parallax_deg=4.0),
-        mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=2048, ba_edge_cap=8192,
+        tracker=TrackerConfig(local_mp_cap=2048, min_init_med_parallax_deg=4.0),
+        mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=4096, ba_edge_cap=16384,
                             tri_neighbors=5),
     )
     sys_ = SLAMSystem(cam, ext, cfg)

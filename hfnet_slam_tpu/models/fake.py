@@ -86,6 +86,7 @@ class FakeExtractor:
         seed=1,
         min_depth=0.3,
         max_depth=40.0,
+        gdesc_dim=64,
     ):
         self.world = world
         self.cam = cam
@@ -97,7 +98,7 @@ class FakeExtractor:
         self.min_depth = min_depth
         self.max_depth = max_depth
         self.desc_dim = world.descs.shape[1]
-        self.gdesc_dim = 64
+        self.gdesc_dim = gdesc_dim
 
     def global_desc_at(self, R_cw, t_cw):
         """Smooth position+heading encoding, unit-normalized."""

@@ -80,6 +80,10 @@ class DeviceMap:
         self.dmax = jnp.asarray(s.mp_dmax)
         self.valid = jnp.asarray(s.mp_valid)
 
+    # fixed scatter chunk: ONE compiled shape for every incremental sync
+    # (variable pow2 buckets were a steady-state compile leak)
+    CHUNK = 1024
+
     def sync(self):
         """Bring the mirror up to date. Call under the map lock."""
         d = self.store.consume_dirty_points()
@@ -89,26 +93,29 @@ class DeviceMap:
             self._upload_all()
             return
         s = self.store
-        n = len(d)
-        P = 1 << max(6, int(n - 1).bit_length())
         M = s.m_max
-        ids = np.full(P, M, np.int32)  # pad rows scatter out of bounds
-        ids[:n] = d
+        P = self.CHUNK
+        for start in range(0, len(d), P):
+            dc = d[start:start + P]
+            n = len(dc)
+            ids = np.full(P, M, np.int32)  # pad rows scatter out of bounds
+            ids[:n] = dc
 
-        def pad_rows(np_arr):
-            shape = (P,) + np_arr.shape[1:]
-            out = np.zeros(shape, np_arr.dtype)
-            out[:n] = np_arr[d]
-            return out
+            def pad_rows(np_arr):
+                shape = (P,) + np_arr.shape[1:]
+                out = np.zeros(shape, np_arr.dtype)
+                out[:n] = np_arr[dc]
+                return out
 
-        # ONE jitted dispatch updates all six tables (six eager .at[].set
-        # calls cost six dispatches + op-by-op compiles per new P bucket)
-        (self.pos, self.desc, self.normal, self.dmin, self.dmax,
-         self.valid) = _scatter_tables(
-            self.pos, self.desc, self.normal, self.dmin, self.dmax,
-            self.valid, jnp.asarray(ids),
-            pad_rows(s.mp_pos), pad_rows(s.mp_desc), pad_rows(s.mp_normal),
-            pad_rows(s.mp_dmin), pad_rows(s.mp_dmax), pad_rows(s.mp_valid))
+            # ONE jitted dispatch updates all six tables (six eager
+            # .at[].set calls cost six dispatches + op-by-op compiles)
+            (self.pos, self.desc, self.normal, self.dmin, self.dmax,
+             self.valid) = _scatter_tables(
+                self.pos, self.desc, self.normal, self.dmin, self.dmax,
+                self.valid, jnp.asarray(ids),
+                pad_rows(s.mp_pos), pad_rows(s.mp_desc),
+                pad_rows(s.mp_normal), pad_rows(s.mp_dmin),
+                pad_rows(s.mp_dmax), pad_rows(s.mp_valid))
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))

@@ -435,8 +435,12 @@ class MapStore:
         uniq = np.unique(mp_s)
         loc = np.zeros(self.m_max, np.int64)
         loc[uniq] = np.arange(len(uniq))
-        # pad the point axis to a power of two: bounded compile count
-        P = max(64, 1 << int(np.ceil(np.log2(max(len(uniq), 1)))))
+        # FIXED point-axis pad (one compile for the process lifetime): the
+        # per-KF refresh touches at most n_slots points, and variable pow2
+        # buckets were the steady-state compile leak the bench counts
+        P = 1 << int(np.ceil(np.log2(max(self.n_slots, 64))))
+        if len(uniq) > P:  # defensive: callers passing cross-KF unions
+            P = 1 << int(np.ceil(np.log2(len(uniq))))
         descs = np.zeros((P, max_obs, self.desc_dim), np.float32)
         mask = np.zeros((P, max_obs), bool)
         descs[loc[mp_s], cum] = self.kf_desc[kf_s, slot_s]
