@@ -402,7 +402,11 @@ def _loop_metrics(smoke: bool, _ms: float) -> dict:
     d = rng.standard_normal((n_lm, 64)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     world = SyntheticWorld(pts, d, rng)
-    ext = FakeExtractor(world, cam, pad_to=512, noise_px=0.3, desc_noise=0.03,
+    # noisier measurements than the browse section: monocular drift must
+    # actually ACCUMULATE over a lap for loop closure to have something to
+    # correct (at 0.3 px the synthetic rig re-localizes against lap-1
+    # points drift-free and every detected loop is a no-op identity)
+    ext = FakeExtractor(world, cam, pad_to=512, noise_px=0.5, desc_noise=0.04,
                         max_landmarks_per_frame=480, seed=7, max_depth=25.0)
     cfg = SystemConfig(
         k_max=256, m_max=16384, n_slots=512, desc_dim=64, gdesc_dim=64,
@@ -411,15 +415,18 @@ def _loop_metrics(smoke: bool, _ms: float) -> dict:
         mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=2048, ba_edge_cap=8192,
                             tri_neighbors=5),
         loop=LoopCloserConfig(
-            min_pair_matches=30, min_sim3_inliers=15, min_proj_matches=30,
-            consistency_hits=1, n_covis_window=5, window_mp_cap=2048,
+            min_pair_matches=60, min_sim3_inliers=25, min_proj_matches=45,
+            consistency_hits=2, n_covis_window=5, window_mp_cap=2048,
             gba_kf_cap=48, gba_mp_cap=4096, gba_edge_cap=16384,
             ransac_hyps=256),
     )
-    n_frames = 60 if smoke else 170
+    # 2.2 revolutions: the start region is revisited TWICE, so a healthy
+    # run lands >= 2 corrections (the post-correction refractory window
+    # spaces them out)
+    n_frames = 60 if smoke else 330
 
-    def gt_pose(i, radius=6.0, total_angle=2.25 * np.pi, bob=0.15):
-        th = total_angle * i / 170.0
+    def gt_pose(i, radius=6.0, total_angle=4.4 * np.pi, bob=0.15):
+        th = total_angle * i / 330.0
         out = np.array([np.sin(th), 0.0, -np.cos(th)])
         c = (np.array([0.0, 0.0, radius]) + radius * out
              + np.array([0.0, bob * np.sin(0.1 * i), 0.0]))
@@ -430,14 +437,14 @@ def _loop_metrics(smoke: bool, _ms: float) -> dict:
 
     feats_all = [ext(*gt_pose(i)) for i in range(n_frames)]
 
-    def run_circuit():
+    def run_circuit(use_cfg=None, paced=True):
         """Frames PACED at the sequence's native 20 fps (ts step 0.05 s)
         like a real camera: feeding flat-out starves the mapping worker of
         wall-time and turns the run into a nondeterministic race — the
         measurement here is tracking latency THROUGH corrections at the
         production frame rate, not maximum enqueue throughput (that is
         slam_stack_fps's job)."""
-        sys_ = SLAMSystem(cam, ext, cfg)
+        sys_ = SLAMSystem(cam, ext, use_cfg or cfg)
         live_c, gt_c, when, frame_ms = [], [], [], []
         for i in range(n_frames):
             R, t = gt_pose(i)
@@ -449,7 +456,8 @@ def _loop_metrics(smoke: bool, _ms: float) -> dict:
                 live_c.append(-Re.T @ te)
                 gt_c.append(-R.T @ t)
                 when.append(i)
-            time.sleep(max(0.0, 0.05 - (f1 - f0)))
+            if paced:
+                time.sleep(max(0.0, 0.05 - (f1 - f0)))
         sys_.finish()
         return sys_, np.asarray(live_c), np.asarray(gt_c), when, frame_ms
 
@@ -459,28 +467,74 @@ def _loop_metrics(smoke: bool, _ms: float) -> dict:
     warm_sys, _, _, _, _ = run_circuit()
     warm_sys.shutdown()
     sys_, live_c, gt_c, when, frame_ms = run_circuit()
-    ate_pre = float(ate.ate_rmse(live_c, gt_c, with_scale=True))
-    # post-correction: rebuild every frame pose through its reference KF.
-    # Pair each recovered entry with ITS OWN frame's ground truth via the
-    # timestamp (ts = 0.05*i) — `rec` covers all tracked frames while gt_c
-    # only frames that returned a pose, so tail-slicing two differently
-    # indexed arrays would silently misalign the day tracking hiccups.
-    rec = TJ.recovered(sys_.trajectory)
-    rec_c, gt_rc = [], []
-    for e in rec:
+    # pre/post-correction ATE over the SAME frame set: entries whose
+    # reference-keyframe chain resolves into the final map (pre-reset
+    # segments live in a different gauge — mixing them makes the number
+    # meaningless). pre = track-time poses, post = poses rebuilt through
+    # the (corrected) keyframes; each pairs with ITS OWN frame's ground
+    # truth via the timestamp (ts = 0.05*i).
+    rec, live_r, rec_frac = TJ.recovered_resolved(sys_.trajectory,
+                                                  store=sys_.store)
+    rec_c, live_rc, gt_rc = [], [], []
+    for e, el in zip(rec, live_r):
         i = int(round(e[0] / 0.05))
         R, t = gt_pose(i)
         rec_c.append(-e[1].T @ e[2])
+        live_rc.append(-el[1].T @ el[2])
         gt_rc.append(-R.T @ t)
-    ate_post = float(ate.ate_rmse(np.asarray(rec_c), np.asarray(gt_rc),
-                                  with_scale=True))
+    if len(rec_c) > 20:
+        ate_pre = float(ate.ate_rmse(np.asarray(live_rc), np.asarray(gt_rc),
+                                     with_scale=True))
+        ate_post = float(ate.ate_rmse(np.asarray(rec_c), np.asarray(gt_rc),
+                                      with_scale=True))
+    else:
+        ate_pre = float(ate.ate_rmse(live_c, gt_c, with_scale=True))
+        ate_post = float("nan")
+    # keyframe-map consistency: the artifact loop closure actually
+    # improves (store poses vs ground truth at keyframe timestamps)
+    st_ = sys_.store
+    ids = st_.valid_kf_ids()
+    kf_c = np.asarray([-st_.kf_R[k].T @ st_.kf_t[k] for k in ids])
+    gt_kf = []
+    for t_ in st_.kf_timestamp[ids]:
+        R, t = gt_pose(int(round(t_ / 0.05)))
+        gt_kf.append(-R.T @ t)
+    ate_kf = float(ate.ate_rmse(kf_c, np.asarray(gt_kf), with_scale=True))
     corrected = sys_.loop_closer.stats["corrected"] if sys_.loop_closer else 0
     sys_.shutdown()
     frame_ms = np.asarray(frame_ms[12:])  # skip system-init frames
+
+    # deterministic accuracy reference: the SAME circuit through the
+    # SYNCHRONOUS pipeline (no worker-lag nondeterminism) — on a 2-core
+    # host async mapping falls behind the camera and tracking pays in
+    # accuracy; these numbers isolate the correction MATH from that
+    # scheduling penalty (the async pass above carries the latency truth)
+    import dataclasses as _dc
+
+    sync_cfg = _dc.replace(cfg, async_mapping=False)
+    ssys, slive, sgt, _, _ = run_circuit(use_cfg=sync_cfg, paced=False)
+    s_pre = float(ate.ate_rmse(slive, sgt, with_scale=True))
+    s_rec, _, _ = TJ.recovered_resolved(ssys.trajectory, store=ssys.store)
+    src_c, sgt_c = [], []
+    for e in s_rec:
+        R, t = gt_pose(int(round(e[0] / 0.05)))
+        src_c.append(-e[1].T @ e[2])
+        sgt_c.append(-R.T @ t)
+    s_post = float(ate.ate_rmse(np.asarray(src_c), np.asarray(sgt_c),
+                                with_scale=True)) if len(src_c) > 20 \
+        else float("nan")
+    s_corr = ssys.loop_closer.stats["corrected"] if ssys.loop_closer else 0
+    ssys.shutdown()
+
     return {
         "ate_loop_pre_m": round(ate_pre, 4),
         "ate_loop_post_m": round(ate_post, 4),
+        "ate_loop_kf_m": round(ate_kf, 4),
+        "loop_recovered_frac": round(rec_frac, 3),
         "loop_corrections": int(corrected),
+        "ate_loop_sync_pre_m": round(s_pre, 4),
+        "ate_loop_sync_post_m": round(s_post, 4),
+        "loop_sync_corrections": int(s_corr),
         "loop_frame_ms_p50": round(float(np.percentile(frame_ms, 50)), 2),
         "loop_frame_ms_p99": round(float(np.percentile(frame_ms, 99)), 2),
     }
@@ -526,6 +580,27 @@ def _cnn_metrics(smoke: bool, _ms: float) -> dict:
                                      n_frames_cache=24)
     ext = HFExtractor(params, (H, W), n_features=n_feat, n_levels=n_lvl,
                       pad_to=pad, threshold=0.003)
+    # deployment split: the CNN runs on the accelerator, the SLAM stack's
+    # many small host-side kernels on the CPU backend — through the axon
+    # tunnel the alternative (whole stack on the remote device) pays a
+    # round-trip per kernel and measures the tunnel, not the framework
+    accel = None
+    if jax.default_backend() == "tpu":
+        from hfnet_slam_tpu.models.extractor import Features
+
+        accel = jax.devices("tpu")[0]
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        ext_inner = ext.__call__
+
+        def ext_on_accel(image):
+            # run on the accelerator, hand the (small) feature set to the
+            # host — the per-frame device->host transfer is part of the
+            # measured loop, exactly the deployment handoff
+            with jax.default_device(accel):
+                f = ext_inner(jax.device_put(image, accel))
+            return Features(*[np.asarray(x) for x in f])
+
+        ext = ext_on_accel
     bf = 0.1 * float(np.asarray(cam.params)[0])
     cfg = SystemConfig(
         k_max=128, m_max=16384, n_slots=pad, desc_dim=256, gdesc_dim=4096,

@@ -711,13 +711,20 @@ class LocalMapper:
 
     def _detach_outliers(self, out_valid, kf_e, slot_e, mp_ids):
         """Erase observations classified as outliers (the reference's final
-        erase loop, Optimizer.cc:1436-1464); kill orphaned points."""
+        erase loop, Optimizer.cc:1436-1464); kill orphaned points.
+        Batched per keyframe (a per-edge Python loop held the map lock for
+        ~ms x thousands of outliers after big solves)."""
         store = self.store
         bad = ~out_valid
         if bad.any():
-            for kf, slot in zip(kf_e[bad], slot_e[bad]):
-                if store.kf_valid[kf]:
-                    store.set_observation(int(kf), int(slot), -1)
+            kf_b, slot_b = kf_e[bad], slot_e[bad]
+            alive = store.kf_valid[kf_b]
+            kf_b, slot_b = kf_b[alive], slot_b[alive]
+            for kf in np.unique(kf_b):
+                sel = kf_b == kf
+                store.assign_observations(
+                    int(kf), slot_b[sel],
+                    np.full(int(sel.sum()), -1, np.int32))
             orphans = mp_ids[store.mp_valid[mp_ids]
                              & (store.mp_obs_count[mp_ids] < 2)]
             store.remove_points(orphans)

@@ -633,25 +633,35 @@ class LoopCloser:
             tn = R_ik @ S_cw[1] + t_ik
             corr_R[i], corr_t[i], corr_s[i] = Rn, tn, S_cw[2]
 
-        # move window map points: p' = S_corr^{-1}(T_old(p)) (:1185-1251)
+        # move window map points: p' = S_corr^{-1}(T_old(p)) (:1185-1251),
+        # vectorized over all points (the per-window-KF isin loop was part
+        # of the correction's lock-held tail)
         win_mps = store.points_seen_by(window)
         if len(win_mps):
-            ref_kf = np.full(len(win_mps), -1, np.int64)
             # reference keyframe per point = first window KF observing it
-            for i in window:
-                obs = store.kf_obs[i]
-                owned = obs[obs >= 0]
-                sel = np.isin(win_mps, owned) & (ref_kf < 0)
-                ref_kf[sel] = i
-            for i in window:
-                sel = ref_kf == i
-                if not sel.any():
-                    continue
-                p = store.mp_pos[win_mps[sel]]
-                p_cam = p @ pre_R[i].T + pre_t[i]
-                Rn, tn, sn = corr_R[i], corr_t[i], corr_s[i]
-                # inverse sim3: p_w = R^T (p_cam - t) / s
-                store.mp_pos[win_mps[sel]] = ((p_cam - tn) @ Rn) / sn
+            # (window-list priority order)
+            prio = np.full(store.k_max, len(window), np.int64)
+            for n, i in enumerate(window):
+                prio[i] = min(prio[i], n)
+            kf_e, _, mp_e = store.observing_slots(win_mps)
+            in_win = prio[kf_e] < len(window)
+            kf_e, mp_e = kf_e[in_win], mp_e[in_win]
+            loc = np.zeros(store.m_max, np.int64)
+            loc[win_mps] = np.arange(len(win_mps))
+            best = np.full(len(win_mps), len(window), np.int64)
+            np.minimum.at(best, loc[mp_e], prio[kf_e])
+            ok = best < len(window)
+            ids = win_mps[ok]
+            w_arr = np.asarray(window)
+            gi = w_arr[best[ok]]
+            Rn = np.stack([corr_R[i] for i in window])[best[ok]]
+            tn = np.stack([corr_t[i] for i in window])[best[ok]]
+            sn = np.asarray([corr_s[i] for i in window])[best[ok]]
+            p_cam = np.einsum("mij,mj->mi", pre_R[gi], store.mp_pos[ids]) \
+                + pre_t[gi]
+            # inverse sim3: p_w = R^T (p_cam - t) / s
+            store.mp_pos[ids] = np.einsum("mi,mij->mj", p_cam - tn, Rn) \
+                / sn[:, None]
 
         # write corrected window poses as SE3 (fold scale into translation:
         # [R, t/s], :1239)
@@ -861,7 +871,7 @@ class LoopCloser:
         pre_all_R = store.kf_R.copy()
         pre_all_t = store.kf_t.copy()
 
-        # ---- correct map points via their reference KF ------------------
+        # ---- correct map points via their reference KF (vectorized) -----
         # p' = S_new^{-1}( S_old(p) ), S_old = pose at build time
         mp_ids = np.nonzero(store.mp_valid)[0]
         if len(mp_ids):
@@ -874,13 +884,17 @@ class LoopCloser:
                 for kf_, mp_ in zip(kf_e, mp_e):
                     first.setdefault(int(mp_), int(kf_))
                 ref[bad] = [first.get(int(m), -1) for m in mp_ids[bad]]
-            for n, g in enumerate(kf_ids):
-                sel = ref == g
-                if not sel.any():
-                    continue
-                ids = mp_ids[sel]
-                p_cam = store.mp_pos[ids] @ V_R[n].T + V_t[n]
-                store.mp_pos[ids] = ((p_cam - t_new[n]) @ R_new[n]) / s_new[n]
+            loc = np.full(store.k_max, -1, np.int64)
+            loc[kf_ids] = np.arange(K)
+            gi = loc[np.clip(ref, 0, store.k_max - 1)]
+            gi[ref < 0] = -1
+            ok = gi >= 0
+            ids = mp_ids[ok]
+            g = gi[ok]
+            p_cam = np.einsum("mij,mj->mi", V_R[g], store.mp_pos[ids]) \
+                + V_t[g]
+            store.mp_pos[ids] = np.einsum(
+                "mi,mij->mj", p_cam - t_new[g], R_new[g]) / s_new[g, None]
 
         # ---- write back poses: T = [R, t/s] ------------------------------
         alive = store.kf_valid[kf_ids]

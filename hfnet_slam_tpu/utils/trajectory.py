@@ -83,6 +83,34 @@ def recovered(traj):
     return out
 
 
+def recovered_resolved(traj, store=None):
+    """Like recovered(), but ONLY entries whose reference-keyframe chain
+    still resolves into the current map (no absolute-pose fallbacks).
+    Entries from discarded/reset maps live in a different gauge — mixing
+    them into one ATE makes the number meaningless. `store` (optional)
+    additionally restricts to entries anchored in that map. Returns
+    (recovered_entries, live_entries, resolved_fraction) — live = the
+    track-time poses of the SAME frames, so pre/post-correction ATEs
+    compare like with like."""
+    out = []
+    live = []
+    n = 0
+    for e in traj:
+        n += 1
+        if not hasattr(e, "recovered_pose"):
+            continue
+        if e.store is None or e.ref_uid < 0 or e.R_rel is None:
+            continue
+        if store is not None and e.store is not store:
+            continue
+        if e.store.resolve_uid(int(e.ref_uid)) is None:
+            continue
+        R, t = e.recovered_pose()
+        out.append((e.ts, R, t))
+        live.append((e.ts, e.R, e.t))
+    return out, live, (len(out) / n if n else 0.0)
+
+
 def save(path, traj, fmt: str = "tum"):
     lines = _FORMATS[fmt](recovered(traj))
     with open(path, "w") as f:
