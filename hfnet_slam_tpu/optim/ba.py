@@ -54,29 +54,47 @@ class BAProblem(NamedTuple):
     valid: jnp.ndarray       # (E,) bool
     z_meas: jnp.ndarray = None   # (E,) measured depth (0 = mono edge)
     wz: jnp.ndarray = None       # (E,) depth-row weight bf/z^2 (0 = mono)
+    # stereo-rig right-camera observations (the reference's ToBody edges,
+    # OptimizableTypes.h:110-144): cam_sel = 1 observes through the RIGHT
+    # camera at (rig_R, rig_t) (x_r = rig_R x_l + rig_t) with params_r
+    # intrinsics; both cameras must share cam_kind
+    cam_sel: jnp.ndarray = None  # (E,) 0 = left, 1 = right
+    rig_R: jnp.ndarray = None    # (3,3)
+    rig_t: jnp.ndarray = None    # (3,)
+    params_r: jnp.ndarray = None  # right-camera intrinsics
 
 
-def with_depth_defaults(prob: BAProblem) -> BAProblem:
-    """Fill absent stereo fields with mono-edge zeros."""
+def with_depth_defaults(prob: BAProblem, cam_params=None) -> BAProblem:
+    """Fill absent stereo/rig fields with mono/left-edge defaults."""
     E = prob.uv.shape[0]
     z = prob.z_meas if prob.z_meas is not None else jnp.zeros(E)
     w = prob.wz if prob.wz is not None else jnp.zeros(E)
-    return prob._replace(z_meas=z, wz=w)
+    sel = prob.cam_sel if prob.cam_sel is not None else jnp.zeros(E)
+    rR = prob.rig_R if prob.rig_R is not None else jnp.eye(3)
+    rt = prob.rig_t if prob.rig_t is not None else jnp.zeros(3)
+    pr = prob.params_r
+    if pr is None:
+        pr = cam_params if cam_params is not None else jnp.zeros(4)
+    return prob._replace(z_meas=z, wz=w, cam_sel=sel, rig_R=rR, rig_t=rt,
+                         params_r=jnp.asarray(pr))
 
 
 def _edge_terms(cam_kind, cam_params, prob: BAProblem, w_extra):
     """Per-edge residuals (3-row: reprojection + optional depth),
-    Jacobians and weights."""
+    Jacobians and weights. Rig-aware: cam_sel routes each edge through
+    the left or the right camera of a stereo rig."""
     R = prob.poses_R[prob.kf_idx]
     t = prob.poses_t[prob.kf_idx]
     p = prob.points[prob.pt_idx]
 
-    def one(R, t, p, uv, z, wz):
-        return factors.reproj_depth_residual(
-            cam_kind, cam_params, R, t, p, uv, z, wz
+    def one(R, t, p, uv, z, wz, sel):
+        return factors.reproj_depth_residual_rig(
+            cam_kind, jnp.asarray(cam_params), prob.params_r,
+            prob.rig_R, prob.rig_t, sel, R, t, p, uv, z, wz
         )
 
-    r, Jc, Jp, depth = jax.vmap(one)(R, t, p, prob.uv, prob.z_meas, prob.wz)
+    r, Jc, Jp, depth = jax.vmap(one)(R, t, p, prob.uv, prob.z_meas, prob.wz,
+                                     prob.cam_sel)
     w = w_extra * prob.inv_sigma2 * prob.valid * (depth > 0)
     return r, Jc, Jp, w, depth
 
@@ -97,7 +115,7 @@ def ba_iterate(cam_kind, cam_params, prob: BAProblem, n_iters: int, robust: bool
     region — are load-bearing: without them the near-gauge directions of
     monocular BA random-walk under f32 round-off and the map warps.
     """
-    prob = with_depth_defaults(prob)
+    prob = with_depth_defaults(prob, cam_params)
     K = prob.poses_R.shape[0]
     M = prob.points.shape[0]
     # per-edge gate: stereo/depth edges are 3-dof (CHI2_STEREO = 7.815)
@@ -213,7 +231,7 @@ def ba_iterate(cam_kind, cam_params, prob: BAProblem, n_iters: int, robust: bool
 @partial(jax.jit, static_argnames=("cam_kind",))
 def classify_edges(cam_kind, cam_params, prob: BAProblem, chi2_th: float, base_valid):
     """Re-classify edges against the base validity set (outlier recycling)."""
-    prob = with_depth_defaults(prob)
+    prob = with_depth_defaults(prob, cam_params)
     r, _, _, _, depth = _edge_terms(cam_kind, cam_params, prob, 1.0)
     chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
     th = jnp.where(prob.wz > 0, factors.CHI2_STEREO, chi2_th)
@@ -237,7 +255,7 @@ def bundle_adjust(
     detached global-BA thread's stop flag (the reference's mbStopGBA,
     LoopClosing.cc:1123-1133); on True the remaining rounds are skipped
     (the caller discards the result)."""
-    prob = with_depth_defaults(prob)
+    prob = with_depth_defaults(prob, cam_params)
     base_valid = prob.valid
     for n_iters, robust in rounds:
         if should_abort is not None and should_abort():

@@ -42,6 +42,43 @@ def reproj_residual(cam_kind, cam_params, R, t, p_w, uv):
     return r, J_pose, J_point, pc[2]
 
 
+def reproj_depth_residual_rig(cam_kind, cam_params_l, cam_params_r,
+                              R_rl, t_rl, sel, R, t, p_w, uv, z_meas, w_z):
+    """Rig-aware reprojection(+depth) residual: sel = 0 observes through
+    the LEFT (body) camera, sel = 1 through the RIGHT camera at extrinsic
+    (R_rl, t_rl) (x_r = R_rl x_l + t_rl) with its own intrinsics.
+
+    The TPU-native replacement for the reference's "ToBody" edges
+    (EdgeSE3ProjectXYZToBody, include/OptimizableTypes.h:110-144): right-
+    camera keypoints are first-class measurements of the LEFT pose. Both
+    cameras must share cam_kind (true for real rigs: KB8+KB8 pinhole+
+    pinhole); per-edge camera selection is an arithmetic blend of the
+    extrinsic and the intrinsic vectors, so one vmapped factor serves
+    mixed edge sets without branching.
+
+    Returns r (3,), J_pose (3,6) wrt the LEFT pose tangent, J_point (3,3),
+    depth (in the OBSERVING camera)."""
+    s = sel.astype(R.dtype) if hasattr(sel, "astype") else jnp.asarray(
+        sel, R.dtype)
+    eye = jnp.eye(3, dtype=R.dtype)
+    R_x = s * R_rl + (1.0 - s) * eye
+    t_x = s * t_rl
+    params = s * cam_params_r + (1.0 - s) * cam_params_l
+
+    pc_l = R @ p_w + t
+    pc = R_x @ pc_l + t_x
+    r2 = cameras.project(cam_kind, params, pc) - uv
+    rz = w_z * (pc[2] - z_meas)
+    r = jnp.concatenate([r2, rz[None]])
+    Jproj = cameras.project_jac(cam_kind, params, pc)      # (2,3)
+    Jz = w_z * jnp.array([0.0, 0.0, 1.0])
+    Jpc = jnp.concatenate([Jproj, Jz[None]], axis=0)       # (3,3) d r/d pc
+    Jpc_l = Jpc @ R_x                                       # d r / d pc_l
+    J_pose = jnp.concatenate([Jpc_l, -Jpc_l @ lie.hat(pc_l)], axis=1)
+    J_point = Jpc_l @ R
+    return r, J_pose, J_point, pc[2]
+
+
 def reproj_depth_residual(cam_kind, cam_params, R, t, p_w, uv, z_meas, w_z):
     """Reprojection + depth residual: r = [du, dv, w_z (z - z_meas)].
 

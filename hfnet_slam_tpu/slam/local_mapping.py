@@ -83,6 +83,11 @@ class MapperConfig:
     iba_mp_cap: int = 2048
     iba_edge_cap: int = 8192
     iba_rounds: tuple = ((4, True), (6, False))
+    # stereo rig with a distinct right camera (fisheye stereo): when set,
+    # right-bank observations become first-class BA edges through the
+    # extrinsic (the reference's ToBody edges). (R_rl, t_rl, params_r)
+    # with x_r = R_rl x_l + t_rl; cameras share the model kind.
+    rig: tuple = None
     # full VI-BA (FullInertialBA, Optimizer.cc:392): solved JOINTLY with
     # capacities sized to the map (padded to powers of two) up to
     # fiba_max_joint keyframes — the reference optimizes every KF in one
@@ -519,6 +524,12 @@ class LocalMapper:
 
         mesh = self.mesh if self.mesh is not None else self._default_mesh()
         self.stats["dist_gba"] = self.stats.get("dist_gba", 0) + 1
+        if self.store.has_right:
+            from ..utils.log import warn
+
+            warn("dist GBA: right-camera (ToBody) edges are not yet "
+                 "sharded — the global solve uses left-bank + depth "
+                 "constraints only (no silent behavior: logged per solve)")
         with self.lock:
             store = self.store
             big0 = store.big_change_idx
@@ -768,6 +779,35 @@ class LocalMapper:
                 kf_ids, mp_ids, kf_e, slot_e, mp_e, K, M, E)
             n_e = len(kf_e)
 
+            # right-camera edges (ToBody): appended after the left edges
+            cam_sel = np.zeros(E, np.float32)
+            rig = cfg.rig if (cfg.rig is not None and store.has_right) \
+                else None
+            rkf = rslot = rmp = np.empty(0, np.int64)
+            n_r = 0
+            if rig is not None:
+                rkf, rslot, rmp = store.right_observing_slots(mp_ids)
+                keep = np.isin(rkf, kf_ids) & np.isin(rmp, mp_ids)
+                rkf, rslot, rmp = rkf[keep], rslot[keep], rmp[keep]
+                n_r = min(len(rkf), E - n_e)
+                if n_r < len(rkf):
+                    from ..utils.log import warn
+
+                    warn(f"local BA: {len(rkf) - n_r} right-camera edges "
+                         "over edge_cap dropped")
+                rkf, rslot, rmp = rkf[:n_r], rslot[:n_r], rmp[:n_r]
+                kf_loc = np.zeros(store.k_max, np.int32)
+                kf_loc[kf_ids] = np.arange(len(kf_ids))
+                mp_loc = np.zeros(store.m_max, np.int32)
+                mp_loc[mp_ids] = np.arange(len(mp_ids))
+                kf_idx[n_e:n_e + n_r] = kf_loc[rkf]
+                pt_idx[n_e:n_e + n_r] = mp_loc[rmp]
+                uv[n_e:n_e + n_r] = store.kf_xy_r[rkf, rslot]
+                inv_s2[n_e:n_e + n_r] = 1.0 / (
+                    1.2 ** (2.0 * store.kf_oct_r[rkf, rslot]))
+                valid[n_e:n_e + n_r] = True
+                cam_sel[n_e:n_e + n_r] = 1.0
+
             prob = ba.BAProblem(
                 poses_R=jnp.asarray(poses_R), poses_t=jnp.asarray(poses_t),
                 fixed=jnp.asarray(fixed), points=jnp.asarray(points),
@@ -775,6 +815,10 @@ class LocalMapper:
                 uv=jnp.asarray(uv), inv_sigma2=jnp.asarray(inv_s2),
                 valid=jnp.asarray(valid),
                 z_meas=jnp.asarray(z_meas), wz=jnp.asarray(wz),
+                cam_sel=jnp.asarray(cam_sel),
+                rig_R=jnp.asarray(rig[0]) if rig is not None else None,
+                rig_t=jnp.asarray(rig[1]) if rig is not None else None,
+                params_r=jnp.asarray(rig[2]) if rig is not None else None,
             )
         out = ba.bundle_adjust(self.cam.kind, self.cam.params, prob,
                                rounds=rounds, should_abort=should_abort)
@@ -795,6 +839,10 @@ class LocalMapper:
             alive = store.mp_valid[mp_ids]
             store.mp_pos[mp_ids[alive]] = out.points[: len(mp_ids)][alive]
             self._detach_outliers(out.valid[:n_e], kf_e, slot_e, mp_ids)
+            if n_r:
+                bad_r = ~out.valid[n_e:n_e + n_r]
+                if bad_r.any():
+                    store.kf_obs_r[rkf[bad_r], rslot[bad_r]] = -1
             store.mark_points_dirty(mp_ids)
             store.bump_change(dirty_points=False)
         return {"kf_ids": kf_ids, "mp_ids": mp_ids}

@@ -73,6 +73,15 @@ class MapStore:
         self.mp_dmin = np.zeros(M, np.float32)
         self.mp_dmax = np.zeros(M, np.float32)
 
+        # optional RIGHT-camera observation bank (fisheye stereo rigs):
+        # the reference keeps right-cam keypoints as first-class
+        # observations with ToBody edges (OptimizableTypes.h:110-144);
+        # allocated lazily by enable_right_bank()
+        self.has_right = False
+        self.kf_xy_r = None     # (K,N,2)
+        self.kf_oct_r = None    # (K,N)
+        self.kf_obs_r = None    # (K,N) mp id or -1
+
         self.covis = np.zeros((K, K), np.int32)
         self._covis_scratch = None  # native covis_update mark buffer
         self.n_kf = 0
@@ -106,6 +115,40 @@ class MapStore:
         # the all-dirty flag for whole-map moves (BA, loop, rescale)
         self._mp_dirty = np.zeros(M, bool)
         self._mp_dirty_all = True
+
+    def enable_right_bank(self):
+        """Allocate the right-camera observation tables (stereo rigs)."""
+        if self.has_right:
+            return
+        K, N = self.k_max, self.n_slots
+        self.kf_xy_r = np.zeros((K, N, 2), np.float32)
+        self.kf_oct_r = np.zeros((K, N), np.int32)
+        self.kf_obs_r = np.full((K, N), -1, np.int32)
+        self.has_right = True
+
+    def set_right_observations(self, kf, slots, mp_ids, xy, octave):
+        """Record right-camera observations for keyframe `kf` (the stereo
+        frame's matched right keypoints). Right observations do not count
+        toward mp_obs_count (culling semantics follow the left bank, like
+        the reference's leftIndex-primary bookkeeping)."""
+        self.enable_right_bank()
+        slots = np.asarray(slots, int)
+        self.kf_obs_r[kf, slots] = np.asarray(mp_ids, np.int32)
+        self.kf_xy_r[kf, slots] = np.asarray(xy, np.float32)
+        self.kf_oct_r[kf, slots] = np.asarray(octave, np.int32)
+
+    def right_observing_slots(self, mp_ids):
+        """(kf, slot, mp) triples from the RIGHT bank for the given points
+        (edge building for the rig-aware BA)."""
+        if not self.has_right:
+            return (np.empty(0, np.int64),) * 3
+        member = np.zeros(self.m_max, bool)
+        member[np.asarray(mp_ids, int)] = True
+        obs = self.kf_obs_r
+        sel = (obs >= 0) & self.kf_valid[:, None] \
+            & member[np.clip(obs, 0, self.m_max - 1)]
+        kf_e, slot_e = np.nonzero(sel)
+        return kf_e, slot_e, obs[kf_e, slot_e].astype(np.int64)
 
     def bump_change(self, dirty_points: bool = True):
         """Signal a geometry write-back. dirty_points=False when the writer
@@ -149,6 +192,10 @@ class MapStore:
             setattr(self, name,
                     self._padded(getattr(self, name), self.k_max, fill=-1))
         self.kf_obs = self._padded(self.kf_obs, self.k_max, fill=-1)
+        if self.has_right:
+            self.kf_xy_r = self._padded(self.kf_xy_r, self.k_max)
+            self.kf_oct_r = self._padded(self.kf_oct_r, self.k_max)
+            self.kf_obs_r = self._padded(self.kf_obs_r, self.k_max, fill=-1)
         covis = np.zeros((self.k_max, self.k_max), np.int32)
         covis[:old, :old] = self.covis
         self.covis = covis
@@ -252,6 +299,8 @@ class MapStore:
         obs = self.kf_obs[k]
         np.subtract.at(self.mp_obs_count, obs[obs >= 0], 1)
         self.kf_obs[k] = -1
+        if self.has_right:
+            self.kf_obs_r[k] = -1
         self.covis[k, :] = 0
         self.covis[:, k] = 0
         self.kf_parent[self.kf_parent == k] = self.kf_parent[k]
@@ -321,6 +370,8 @@ class MapStore:
         # detach observations
         sel = np.isin(self.kf_obs, ids)
         self.kf_obs[sel] = -1
+        if self.has_right:
+            self.kf_obs_r[np.isin(self.kf_obs_r, ids)] = -1
         self.mp_obs_count[ids] = 0
         self._free_mp.extend(int(i) for i in ids)
 

@@ -149,6 +149,10 @@ class Frame:
     obs: Optional[np.ndarray] = None  # (N_slots,) mp id or -1
     depth: Optional[np.ndarray] = None  # (N_slots,) stereo/RGBD depth, 0=none
     v: Optional[np.ndarray] = None      # body velocity (VI mode)
+    # fisheye-stereo right camera: (right Features, left-slot -> right-slot
+    # match index) — becomes first-class right-bank observations at KF
+    # creation (the reference's ToBody measurements)
+    right: Optional[tuple] = None
 
     @property
     def n_feats(self):
@@ -243,16 +247,18 @@ class Tracker:
             self.vi._t_moving = 0.0
 
     # ------------------------------------------------------------------
-    def track(self, feats, timestamp, depth=None, imu=None):
+    def track(self, feats, timestamp, depth=None, imu=None, right=None):
         """Main entry (GrabImage{Monocular,Stereo,RGBD} + Track analogue).
         depth: optional (N_slots,) per-keypoint depth (stereo/RGB-D).
         imu: optional (N,7) [ax ay az wx wy wz dt] measurements covering
         (t_prev, t] — the GrabImuData queue contents (Tracking.cc:921).
+        right: optional (right Features, left->right match idx) from the
+        fisheye-stereo associator (first-class right-bank observations).
         Returns (state, R, t)."""
         with self.lock:
-            return self._track(feats, timestamp, depth, imu)
+            return self._track(feats, timestamp, depth, imu, right)
 
-    def _track(self, feats, timestamp, depth=None, imu=None):
+    def _track(self, feats, timestamp, depth=None, imu=None, right=None):
         # whole-map moves by the async workers (loop correction, GBA
         # propagation, inertial rescale/gravity alignment) invalidate the
         # tracker's frame-to-frame state: motion model, LastFrame VI
@@ -277,7 +283,8 @@ class Tracker:
             depth = np.asarray(depth)
             if self.cfg.th_far > 0:  # System.thFarPoints (Settings.h)
                 depth = np.where(depth > self.cfg.th_far, 0.0, depth)
-        frame = Frame(feats=feats, timestamp=timestamp, depth=depth)
+        frame = Frame(feats=feats, timestamp=timestamp, depth=depth,
+                      right=right)
         # timestamp-jump guards (Tracking.cc:1122-1160): a backward jump or
         # a long gap breaks the motion model / IMU integration — reset to
         # LOST so the Atlas layer recovers via a new map
@@ -1242,6 +1249,17 @@ class Tracker:
         self._local_ids = None  # recompute from the refreshed observations
         if frame.depth is not None:
             self._create_depth_points(frame, k)
+        if frame.right is not None and store.has_right:
+            # right-camera keypoints of matched left slots become
+            # first-class observations (the reference's ToBody edges)
+            fr, ridx = frame.right
+            sel = (frame.obs >= 0) & (np.asarray(ridx) >= 0)
+            slots_l = np.nonzero(sel)[0]
+            if len(slots_l):
+                rs = np.asarray(ridx)[slots_l]
+                store.set_right_observations(
+                    k, rs, frame.obs[slots_l],
+                    np.asarray(fr.xy)[rs], np.asarray(fr.octave)[rs])
         if self.vi is not None:
             if self._last_kf >= 0:
                 # preintegrate with the previous KF's bias BEFORE switching
