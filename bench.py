@@ -142,10 +142,24 @@ def _device_pipeline(extra: dict, extraction_ms: float) -> dict:
     if ts is None:
         return {}
     frame_ms = extraction_ms + ts
-    return {
+    out = {
         "e2e_device_fps": round(1000.0 / frame_ms, 1),
         "e2e_device_vs_50fps": round((1000.0 / frame_ms) / 50.0, 3),
     }
+    # whole-stack device budget: every per-keyframe mapping kernel is also
+    # MEASURED on device (triangulate/fuse/local BA); amortized at the
+    # browse cadence of 1 keyframe per 5 frames this derives the
+    # co-located-host stack rate. Labeled _derived: the composition is
+    # arithmetic over measured pieces, not a single measured loop.
+    tri = extra.get("triangulate_kf_device_ms")
+    fus = extra.get("fuse_kf_device_ms")
+    lba = extra.get("local_ba_4it_ms")
+    if tri is not None and fus is not None and lba is not None:
+        kf_ms = tri + fus + 2.0 * lba  # LBA schedule ~ 2x the 4-it probe
+        out["mapping_kf_device_ms"] = round(kf_ms, 2)
+        stack_ms = frame_ms + kf_ms / 5.0
+        out["stack_device_fps_derived"] = round(1000.0 / stack_ms, 1)
+    return out
 
 
 def _time_dispatch(fn, out_leaf, reps=3, n=20):
@@ -265,6 +279,52 @@ def kernel_latencies(smoke: bool) -> dict:
             motion_ids, local_ids, xy_t, dsc_t, oct_t, msk_t, zz, zz, fcfg)
         out["track_step_device_ms"] = round(
             _time_dispatch(ts, lambda o: o["R"], n=10), 3)
+
+    # per-keyframe mapping kernels at production shapes ON the device:
+    # batched epipolar triangulation (CreateNewMapPoints) and two-way fuse
+    # (SearchInNeighbors). With the LBA above these are the whole per-KF
+    # mapping compute — measured, not extrapolated.
+    if not smoke:
+        from hfnet_slam_tpu.slam.fused import (fuse_pairs_batch,
+                                               triangulate_pairs_batch)
+
+        B, N, D = 32, 1024, 256
+        xnk = rng.uniform(-0.5, 0.5, (N, 2)).astype(np.float32)
+        dk = rng.standard_normal((N, D)).astype(np.float32)
+        dk /= np.linalg.norm(dk, axis=1, keepdims=True)
+        s2k = np.ones(N, np.float32)
+        fk = np.ones(N, bool)
+        xnj = rng.uniform(-0.5, 0.5, (B, N, 2)).astype(np.float32)
+        dj = rng.standard_normal((B, N, D)).astype(np.float32)
+        dj /= np.linalg.norm(dj, axis=2, keepdims=True)
+        s2j = np.ones((B, N), np.float32)
+        fj = np.ones((B, N), bool)
+        R21b = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+        t21b = np.tile(np.array([0.1, 0, 0], np.float32), (B, 1))
+        tri = lambda: triangulate_pairs_batch(
+            jnp.asarray(xnk), jnp.asarray(dk), jnp.asarray(s2k),
+            jnp.asarray(fk), jnp.asarray(xnj), jnp.asarray(dj),
+            jnp.asarray(s2j), jnp.asarray(fj), jnp.asarray(R21b),
+            jnp.asarray(t21b), 450.0)
+        out["triangulate_kf_device_ms"] = round(
+            _time_dispatch(tri, lambda o: o[2], n=10), 3)
+
+        Mm2 = 32768
+        mp_pos2 = jnp.asarray(rng.uniform(-8, 8, (Mm2, 3)).astype(np.float32))
+        mp_desc2 = rng.standard_normal((Mm2, D)).astype(np.float32)
+        mp_desc2 /= np.linalg.norm(mp_desc2, axis=1, keepdims=True)
+        mp_desc2 = jnp.asarray(mp_desc2)
+        mp_val2 = jnp.ones(Mm2, bool)
+        cand2 = jnp.asarray(rng.integers(0, Mm2, (B, N)).astype(np.int32))
+        xyb = jnp.asarray(rng.uniform(0, 600, (B, N, 2)).astype(np.float32))
+        octb = jnp.zeros((B, N), jnp.int32)
+        freeb = jnp.ones((B, N), bool)
+        fuse = lambda: fuse_pairs_batch(
+            cam.kind, cam.params, 640.0, 480.0,
+            jnp.asarray(R21b), jnp.asarray(t21b), xyb, jnp.asarray(dj),
+            octb, freeb, cand2, mp_pos2, mp_desc2, mp_val2)
+        out["fuse_kf_device_ms"] = round(
+            _time_dispatch(fuse, lambda o: o, n=10), 3)
 
     # full-DB retrieval scan (KeyFrameDatabase::DetectNBestCandidates)
     Kdb, G = (64, 64) if smoke else (256, 4096)
