@@ -329,26 +329,13 @@ def _epipolar_match(xn1, desc1, sig2_1, mask1, xn2, desc2, sig2_2, mask2,
 
 
 def _triangulate_one(xn1, xn2, R21, t21):
-    """Batched DLT in cam-1 frame (geometry/triangulation.triangulate_dlt,
-    traced inline)."""
-    P1 = jnp.concatenate([jnp.eye(3, dtype=xn1.dtype),
-                          jnp.zeros((3, 1), xn1.dtype)], axis=1)
-    P2 = jnp.concatenate([R21, t21[:, None]], axis=1)
+    """Batched DLT in cam-1 frame — delegates to the closed-form
+    inhomogeneous solve (geometry/triangulation.triangulate_dlt); the
+    eigh-based homogeneous route had no native TPU lowering and dominated
+    the per-keyframe mapping kernel."""
+    from ..geometry import triangulation
 
-    def rows(xn, P):
-        r0 = xn[..., 0:1] * P[2] - P[0]
-        r1 = xn[..., 1:2] * P[2] - P[1]
-        return r0, r1
-
-    a0, a1 = rows(xn1, P1)
-    a2, a3 = rows(xn2, P2)
-    A = jnp.stack([a0, a1, a2, a3], axis=-2)
-    AtA = jnp.swapaxes(A, -1, -2) @ A
-    _, v = jnp.linalg.eigh(AtA)
-    X = v[..., :, 0]
-    denom = jnp.where(jnp.abs(X[..., 3:]) < 1e-12,
-                      jnp.sign(X[..., 3:]) * 1e-12 + 1e-12, X[..., 3:])
-    return X[..., :3] / denom
+    return triangulation.triangulate_dlt(xn1, xn2, R21, t21)
 
 
 @partial(jax.jit, static_argnames=("min_parallax_cos", "chi2_epi", "max_dist"))
