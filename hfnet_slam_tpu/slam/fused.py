@@ -72,13 +72,17 @@ class DeviceMap:
         self._upload_all()
 
     def _upload_all(self):
+        # explicit copies: on CPU backends jnp.asarray may ZERO-COPY alias
+        # the store's numpy buffers, and the host mutates those in place
+        # (mp_pos writes in BA write-back / loop propagation) — an aliased
+        # mirror tears mid-read and breaks snapshot() semantics
         s = self.store
-        self.pos = jnp.asarray(s.mp_pos)
-        self.desc = jnp.asarray(s.mp_desc)
-        self.normal = jnp.asarray(s.mp_normal)
-        self.dmin = jnp.asarray(s.mp_dmin)
-        self.dmax = jnp.asarray(s.mp_dmax)
-        self.valid = jnp.asarray(s.mp_valid)
+        self.pos = jnp.array(s.mp_pos, copy=True)
+        self.desc = jnp.array(s.mp_desc, copy=True)
+        self.normal = jnp.array(s.mp_normal, copy=True)
+        self.dmin = jnp.array(s.mp_dmin, copy=True)
+        self.dmax = jnp.array(s.mp_dmax, copy=True)
+        self.valid = jnp.array(s.mp_valid, copy=True)
 
     # fixed scatter chunk: ONE compiled shape for every incremental sync
     # (variable pow2 buckets were a steady-state compile leak)
@@ -117,12 +121,33 @@ class DeviceMap:
                 pad_rows(s.mp_normal), pad_rows(s.mp_dmin),
                 pad_rows(s.mp_dmax), pad_rows(s.mp_valid))
 
+    def snapshot(self):
+        """Consistent (pos, desc, normal, dmin, dmax, valid) handle tuple.
 
-@partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
+        Call UNDER the map lock (normally right after sync()). The returned
+        handles stay valid off the lock: _scatter_tables is functional (no
+        donation), so a concurrent sync() by another thread builds NEW
+        arrays and re-points the attributes — the captured tuple keeps the
+        old, internally-consistent tables alive. Reading the attributes one
+        by one off the lock instead can tear across a mid-sync swap."""
+        return (self.pos, self.desc, self.normal, self.dmin, self.dmax,
+                self.valid)
+
+
+@jax.jit
 def _scatter_tables(pos, desc, normal, dmin, dmax, valid, idx,
                     r_pos, r_desc, r_normal, r_dmin, r_dmax, r_valid):
-    """Row-scatter all DeviceMap tables in one program (buffers donated —
-    the update is in place on device)."""
+    """Row-scatter all DeviceMap tables in one program.
+
+    Deliberately NOT donated: the mirror is shared across threads (tracker,
+    mapping worker, loop/merge path) and readers dispatch on table handles
+    captured under the map lock, then run OFF the lock. Donation deletes
+    the old buffers at the donating dispatch, so any still-captured handle
+    raises "Array has been deleted" on its next use — the exact crash that
+    killed round 4's loop bench (BENCH_r04 loop_error). The functional
+    update keeps old buffers alive for exactly as long as a reader holds
+    them; the extra copy is one ~16 MB alloc per sync, invisible next to
+    the matching matmuls it feeds."""
     return (pos.at[idx].set(r_pos, mode="drop"),
             desc.at[idx].set(r_desc, mode="drop"),
             normal.at[idx].set(r_normal, mode="drop"),

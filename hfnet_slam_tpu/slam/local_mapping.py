@@ -372,13 +372,15 @@ class LocalMapper:
 
             dm = fused.get_device_map(store)
             dm.sync()
+            # handle capture under the lock: see DeviceMap.snapshot()
+            pos_s, desc_s, _, _, _, valid_s = dm.snapshot()
 
         # ---- device program, UNLOCKED (tracking overlaps) ---------------
         idx = np.asarray(fused.fuse_pairs_batch(
             self.cam.kind, self.cam.params,
             float(self.cam.width), float(self.cam.height),
             R_t, t_t, xy_t, desc_t, oct_t, free_t, cand,
-            dm.pos, dm.desc, dm.valid,
+            pos_s, desc_s, valid_s,
             radius=float(cfg.fuse_radius), max_dist=float(cfg.fuse_max_dist)))
 
         with self.lock:

@@ -714,18 +714,28 @@ class LoopCloser:
 
         dm = fused.get_device_map(store)
         dm.sync()
+        # capture table handles UNDER the lock: snapshot() keeps the
+        # (non-donated) buffers alive and internally consistent even if the
+        # tracker syncs the mirror while the kernel waits below
+        pos_s, desc_s, _, _, _, valid_s = dm.snapshot()
         self.lock.release()  # the kernel reads only the snapshots above
         try:
             idx = np.asarray(fused.fuse_pairs_batch(
                 self.cam.kind, self.cam.params,
                 float(self.cam.width), float(self.cam.height),
                 R_t, t_t, xy_t, desc_t, oct_t, msk_t, cand,
-                dm.pos, dm.desc, dm.valid,
+                pos_s, desc_s, valid_s,
                 radius=float(cfg.proj_radius), max_dist=0.75))
         finally:
             self.lock.acquire()
 
         for pi, i in enumerate(window):
+            # the merge path (SLAMSystem.execute_merge) calls this without
+            # pausing the mapping worker: a window KF may have been CULLED
+            # while the kernel ran — assigning observations to a dead slot
+            # corrupts mp_obs_count (advisor r4 finding #2)
+            if not store.kf_valid[i]:
+                continue
             slots = np.nonzero(idx[pi] >= 0)[0]
             if len(slots) == 0:
                 continue
@@ -733,9 +743,9 @@ class LoopCloser:
             old_ids = store.kf_obs[i][slots]
             # replace: duplicates (old != -1, old != new) die in favor of
             # the loop point; empty slots gain an observation. Vectorized:
-            # drop same-point matches and duplicate claims of one loop
-            # point within this KF.
-            keep = old_ids != new_ids
+            # drop same-point matches, loop points removed mid-kernel, and
+            # duplicate claims of one loop point within this KF.
+            keep = (old_ids != new_ids) & store.mp_valid[new_ids]
             _, first = np.unique(new_ids, return_index=True)
             uniq = np.zeros(len(new_ids), bool)
             uniq[first] = True

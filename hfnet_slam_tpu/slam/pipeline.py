@@ -64,13 +64,24 @@ class MappingWorker:
     # -- loop-closer API ----------------------------------------------------
     def request_pause(self, timeout: float = 30.0):
         """Pause processing between queue items and wait until any
-        in-flight item finishes (RequestStop + isStopped handshake)."""
+        in-flight item finishes (RequestStop + isStopped handshake).
+        Sets the mapper's BA abort flag so a long in-flight local BA yields
+        quickly (the reference's mbAbortBA, Tracking.cc:2527)."""
         import time as _time
 
         self._pause.set()
+        mapper = getattr(self.system, "mapper", None)
+        if mapper is not None:
+            mapper.abort_ba = True
         t0 = _time.monotonic()
         while self._busy and _time.monotonic() - t0 < timeout:
             _time.sleep(0.002)
+        if self._busy:
+            from ..utils.log import warn
+
+            warn("MappingWorker.request_pause: in-flight keyframe did not "
+                 f"finish within {timeout:.0f}s; correction proceeds "
+                 "concurrently (staleness guards will discard conflicts)")
 
     def resume(self):
         """LocalMapping::Release analogue."""
@@ -96,11 +107,18 @@ class MappingWorker:
                 self.q.task_done()
                 return
             store, k = item
+            # _busy is set BEFORE checking the pause event, and re-checked
+            # after: with the reverse order, request_pause() could set the
+            # event and sample a stale _busy=False in the gap, returning
+            # "paused" while this worker starts a full keyframe concurrent
+            # with the detached pose-graph solve (advisor r4 finding #1)
+            self._busy = True
             while self._pause.is_set():  # paused by a loop correction
                 import time as _time
 
+                self._busy = False
                 _time.sleep(0.002)
-            self._busy = True
+                self._busy = True
             try:
                 sys_ = self.system
                 with self.map_lock:

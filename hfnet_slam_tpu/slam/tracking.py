@@ -867,6 +867,17 @@ class Tracker:
             out = jax.device_get(out)
         finally:
             self.lock.acquire()
+        # a whole-map move (loop correction, GBA propagation, inertial
+        # rescale) may have landed during the unlocked wait: the solved
+        # pose is in the PRE-correction gauge (advisor r4 finding #4).
+        # Discard it and fall back to the staged path — with the motion
+        # model reset, the ref-KF route re-anchors on corrected geometry.
+        if store.big_change_idx != self._seen_big:
+            self._seen_big = store.big_change_idx
+            self.velocity = None
+            self._vi_state = None
+            self._vi_prior = None
+            return False
         n1, n_in1, n_in2 = (int(x) for x in out["stats"])
         if n1 < cfg.min_motion_matches or n_in1 < cfg.min_pose_inliers:
             return False  # staged fallbacks (ref-KF brute force) take over
