@@ -282,30 +282,32 @@ def kernel_latencies(smoke: bool) -> dict:
 
     # per-keyframe mapping kernels at production shapes ON the device:
     # batched epipolar triangulation (CreateNewMapPoints) and two-way fuse
-    # (SearchInNeighbors). With the LBA above these are the whole per-KF
-    # mapping compute — measured, not extrapolated.
+    # (SearchInNeighbors), through the device-RESIDENT keyframe bank
+    # (slam/fused.DeviceKFBank — the path LocalMapper actually runs).
+    # Round 4 measured the host-packed variants, whose per-call ~35 MB
+    # uploads cost 574+770 ms/KF (VERDICT r4 weak #2); banked, only the
+    # neighbor-id vector and (B,3,3) poses cross the host boundary.
     if not smoke:
-        from hfnet_slam_tpu.slam.fused import (fuse_pairs_batch,
-                                               triangulate_pairs_batch)
+        from hfnet_slam_tpu.slam.fused import (fuse_neighbors_banked,
+                                               triangulate_banked)
 
-        B, N, D = 32, 1024, 256
-        xnk = rng.uniform(-0.5, 0.5, (N, 2)).astype(np.float32)
-        dk = rng.standard_normal((N, D)).astype(np.float32)
-        dk /= np.linalg.norm(dk, axis=1, keepdims=True)
-        s2k = np.ones(N, np.float32)
-        fk = np.ones(N, bool)
-        xnj = rng.uniform(-0.5, 0.5, (B, N, 2)).astype(np.float32)
-        dj = rng.standard_normal((B, N, D)).astype(np.float32)
-        dj /= np.linalg.norm(dj, axis=2, keepdims=True)
-        s2j = np.ones((B, N), np.float32)
-        fj = np.ones((B, N), bool)
+        K, B, N, D = 256, 32, 1024, 256
+        # the resident bank: built ONCE (keyframe insertion), reused per KF
+        b_xy = jnp.asarray(rng.uniform(0, 600, (K, N, 2)).astype(np.float32))
+        b_desc_h = rng.standard_normal((K, N, D)).astype(np.float32)
+        b_desc_h /= np.linalg.norm(b_desc_h, axis=2, keepdims=True)
+        b_desc = jnp.asarray(b_desc_h)
+        del b_desc_h
+        b_oct = jnp.zeros((K, N), jnp.int32)
+        b_mask = jnp.ones((K, N), bool)
+        b_xn = jnp.asarray(rng.uniform(-0.5, 0.5, (K, N, 2)).astype(np.float32))
+        b_obs_free = jnp.full((K, N), -1, jnp.int32)
+        nbr = np.arange(1, B + 1, dtype=np.int32)
         R21b = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
         t21b = np.tile(np.array([0.1, 0, 0], np.float32), (B, 1))
-        tri = lambda: triangulate_pairs_batch(
-            jnp.asarray(xnk), jnp.asarray(dk), jnp.asarray(s2k),
-            jnp.asarray(fk), jnp.asarray(xnj), jnp.asarray(dj),
-            jnp.asarray(s2j), jnp.asarray(fj), jnp.asarray(R21b),
-            jnp.asarray(t21b), 450.0)
+        tri = lambda: triangulate_banked(
+            0, nbr, R21b, t21b, b_desc, b_oct, b_mask, b_xn, b_obs_free,
+            450.0)
         out["triangulate_kf_device_ms"] = round(
             _time_dispatch(tri, lambda o: o[2], n=10), 3)
 
@@ -315,14 +317,15 @@ def kernel_latencies(smoke: bool) -> dict:
         mp_desc2 /= np.linalg.norm(mp_desc2, axis=1, keepdims=True)
         mp_desc2 = jnp.asarray(mp_desc2)
         mp_val2 = jnp.ones(Mm2, bool)
-        cand2 = jnp.asarray(rng.integers(0, Mm2, (B, N)).astype(np.int32))
-        xyb = jnp.asarray(rng.uniform(0, 600, (B, N, 2)).astype(np.float32))
-        octb = jnp.zeros((B, N), jnp.int32)
-        freeb = jnp.ones((B, N), bool)
-        fuse = lambda: fuse_pairs_batch(
+        b_obs_full = jnp.asarray(
+            rng.integers(0, Mm2, (K, N)).astype(np.int32))
+        tgt = np.arange(B, dtype=np.int32) % K
+        src = (np.arange(B, dtype=np.int32) + 1) % K
+        fuse = lambda: fuse_neighbors_banked(
             cam.kind, cam.params, 640.0, 480.0,
-            jnp.asarray(R21b), jnp.asarray(t21b), xyb, jnp.asarray(dj),
-            octb, freeb, cand2, mp_pos2, mp_desc2, mp_val2)
+            tgt, src, R21b, t21b,
+            b_xy, b_desc, b_oct, b_mask, b_obs_full,
+            mp_pos2, mp_desc2, mp_val2)
         out["fuse_kf_device_ms"] = round(
             _time_dispatch(fuse, lambda o: o, n=10), 3)
 
@@ -452,32 +455,37 @@ def _loop_metrics(smoke: bool, _ms: float) -> dict:
     from hfnet_slam_tpu.slam.tracking import TrackerConfig
     from hfnet_slam_tpu.utils import trajectory as TJ
 
+    # PRODUCTION shapes (VERDICT r4 next #4): 1024 keypoint slots, 256-d
+    # local descriptors, 4096-d global descriptors — the same sizes the
+    # stack section runs, so the loop p99 / correction claims hold at the
+    # deployment shapes rather than quarter-scale toys
     cam = cameras.pinhole(450.0, 450.0, 320.0, 240.0, 640, 480)
     rng = np.random.default_rng(11)
-    n_lm = 4000
+    n_lm = 5000
     th = rng.uniform(0, 2 * np.pi, n_lm)
     rr = rng.uniform(12.0, 20.0, n_lm)
     pts = np.stack([rr * np.sin(th), rng.uniform(-4.0, 4.0, n_lm),
                     6.0 - rr * np.cos(th)], 1).astype(np.float32)
-    d = rng.standard_normal((n_lm, 64)).astype(np.float32)
+    d = rng.standard_normal((n_lm, 256)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     world = SyntheticWorld(pts, d, rng)
     # noisier measurements than the browse section: monocular drift must
     # actually ACCUMULATE over a lap for loop closure to have something to
     # correct (at 0.3 px the synthetic rig re-localizes against lap-1
     # points drift-free and every detected loop is a no-op identity)
-    ext = FakeExtractor(world, cam, pad_to=512, noise_px=0.5, desc_noise=0.04,
-                        max_landmarks_per_frame=480, seed=7, max_depth=25.0)
+    ext = FakeExtractor(world, cam, pad_to=1024, noise_px=0.5,
+                        desc_noise=0.04, max_landmarks_per_frame=900, seed=7,
+                        max_depth=25.0, gdesc_dim=4096)
     cfg = SystemConfig(
-        k_max=256, m_max=16384, n_slots=512, desc_dim=64, gdesc_dim=64,
+        k_max=256, m_max=16384, n_slots=1024, desc_dim=256, gdesc_dim=4096,
         async_mapping=True,
         tracker=TrackerConfig(local_mp_cap=2048, min_init_med_parallax_deg=1.0),
-        mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=2048, ba_edge_cap=8192,
+        mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=4096, ba_edge_cap=16384,
                             tri_neighbors=5),
         loop=LoopCloserConfig(
             min_pair_matches=60, min_sim3_inliers=25, min_proj_matches=45,
             consistency_hits=2, n_covis_window=5, window_mp_cap=2048,
-            gba_kf_cap=48, gba_mp_cap=4096, gba_edge_cap=16384,
+            gba_kf_cap=48, gba_mp_cap=8192, gba_edge_cap=32768,
             ransac_hyps=256),
     )
     # 2.2 revolutions: the start region is revisited TWICE, so a healthy
