@@ -73,7 +73,7 @@ def main():
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 3),
     }
-    line["extra"] = kernel_latencies(smoke)
+    line["extra"] = kernel_latencies(smoke, ext=ext, image=image)
     line["extra"].update(_device_pipeline(line["extra"], ms))
     if "--no-e2e" not in sys.argv:
         # The stack sections run on the HOST CPU backend, matching the
@@ -88,6 +88,10 @@ def main():
         if not smoke:  # accuracy artifacts (VERDICT r2 #2); full tier only
             sections += [("loop", _loop_metrics), ("vi", _vi_metrics),
                          ("cnn", _cnn_metrics)]
+        only = [a.split("=", 1)[1].split(",") for a in sys.argv
+                if a.startswith("--sections=")]
+        if only:  # debugging aid: run a subset, e.g. --sections=cnn
+            sections = [s for s in sections if s[0] in only[0]]
         pinned = jax.default_backend() != "cpu"
         for name, fn in sections:
             try:
@@ -178,7 +182,7 @@ def _time_dispatch(fn, out_leaf, reps=3, n=20):
     return best
 
 
-def kernel_latencies(smoke: bool) -> dict:
+def kernel_latencies(smoke: bool, ext=None, image=None) -> dict:
     """Hot-kernel latencies at reference workload sizes (the pieces the
     reference times separately: BFMatcher-L2 pair matching ~5.46 ms,
     PoseOptimization, local BA, KeyFrameDatabase full-DB scan ~245 ms —
@@ -328,6 +332,40 @@ def kernel_latencies(smoke: bool) -> dict:
             mp_pos2, mp_desc2, mp_val2)
         out["fuse_kf_device_ms"] = round(
             _time_dispatch(fuse, lambda o: o, n=10), 3)
+
+        # MEASURED device stack loop (VERDICT r4 next #3 asked for a
+        # measured, not derived, co-located stack rate): per frame, the
+        # full CNN pyramid extraction + the fused tracking program; every
+        # 5th frame (the browse keyframe cadence) additionally the per-KF
+        # mapping kernels (banked triangulate + fuse + the 2-solve LBA
+        # schedule). All enqueued back-to-back with ONE sync at the end —
+        # the sustained throughput of the device side of the whole stack.
+        # Host bookkeeping (numpy covisibility / culling, O(ms)) overlaps
+        # this pipeline on a co-located host; through the axon tunnel it
+        # cannot, which is what the CPU-host slam_stack_fps section
+        # measures instead.
+        n_sf = 30
+        o_e = o_t = o_tri = o_fu = o_l1 = o_l2 = None
+        best = float("inf")
+        for rep in range(4):  # rep 0 = warm
+            t0 = time.perf_counter()
+            for i in range(n_sf):
+                if ext is not None:
+                    o_e = ext(image)
+                o_t = ts()
+                if i % 5 == 0:
+                    o_tri = tri()
+                    o_fu = fuse()
+                    o_l1 = lba()
+                    o_l2 = lba()
+            jax.block_until_ready(
+                (o_t["R"], o_tri[2], o_fu, o_l1[0].poses_t,
+                 o_l2[0].poses_t)
+                + ((o_e.desc,) if o_e is not None else ()))
+            if rep > 0:
+                best = min(best, (time.perf_counter() - t0) / n_sf)
+        out["stack_device_fps"] = round(1.0 / best, 1)
+        out["stack_device_includes_extraction"] = ext is not None
 
     # full-DB retrieval scan (KeyFrameDatabase::DetectNBestCandidates)
     Kdb, G = (64, 64) if smoke else (256, 4096)
@@ -653,7 +691,12 @@ def _cnn_metrics(smoke: bool, _ms: float) -> dict:
     # tunnel the alternative (whole stack on the remote device) pays a
     # round-trip per kernel and measures the tunnel, not the framework
     accel = None
-    if jax.default_backend() == "tpu":
+    # HFNET_CNN_STACK=accel runs the WHOLE stack on the accelerator (the
+    # co-located deployment: the fused tracker is ONE dispatch + ONE fetch
+    # per frame, so even through the tunnel it can beat the 2-core CPU
+    # host); default keeps the tracker on CPU (reference deployment shape)
+    stack_on_accel = os.environ.get("HFNET_CNN_STACK") == "accel"
+    if jax.default_backend() == "tpu" and not stack_on_accel:
         from hfnet_slam_tpu.models.extractor import Features
 
         accel = jax.devices("tpu")[0]
@@ -701,20 +744,39 @@ def _cnn_metrics(smoke: bool, _ms: float) -> dict:
     )
     sys_ = SLAMSystem(cam, ext, cfg)
     frames = [world.render_rgbd(*world.orbit_pose(i)) for i in range(n_frames)]
-    est, gtc, states = [], [], []
+    est, gtc, states, inliers = [], [], [], []
     warm = min(20, n_frames // 3)
     t0 = None
-    for i in range(n_frames):
+
+    # PIPELINED extraction (VERDICT r4 next #5): the accelerator forward +
+    # its device->host fetch for frame i+1 runs on a background worker
+    # while the host tracks frame i (utils/prefetch.pipeline_frames) —
+    # the sequential loop paid the full extract+transfer latency inside
+    # every frame. Depth sampling rides the worker too (it only needs the
+    # frame's own features).
+    from hfnet_slam_tpu.ops import stereo as S
+    from hfnet_slam_tpu.utils.prefetch import pipeline_frames
+
+    def extract_item(item):
+        i, (img, dep) = item
+        feats = ext(jnp.asarray(img))
+        depth = np.asarray(S.depth_at_keypoints(
+            jnp.asarray(dep), feats.xy, cfg.depth_factor))
+        return feats, depth
+
+    for (i, _), (feats, depth) in pipeline_frames(
+            extract_item, list(enumerate(frames))):
         if i == warm:
             t0 = time.perf_counter()
         R, t = world.orbit_pose(i)
-        img, dep = frames[i]
-        st, Re, te = sys_.track_rgbd(jnp.asarray(img), dep, 0.05 * i)
+        st, Re, te = sys_.track_features(feats, 0.05 * i, depth=depth)
         states.append(st)
+        inliers.append(sys_.tracker.n_inliers)
         if Re is not None:
             est.append(-Re.T @ te)
             gtc.append(-R.T @ t)
     dt = time.perf_counter() - t0
+    n_kf = int(sys_.store.kf_valid.sum())
     sys_.shutdown()
     out = {
         "cnn_e2e_fps": round((n_frames - warm) / dt, 2),
@@ -723,6 +785,11 @@ def _cnn_metrics(smoke: bool, _ms: float) -> dict:
                            if tstats["loss_last"] is not None else None),
         "cnn_tracked_frac": round(len(est) / n_frames, 3),
         "cnn_lost": int(sum(1 for s in states if s == LOST)),
+        # diagnosability (VERDICT r4 next #5): keyframe count + per-frame
+        # tracking inlier stats so accuracy failures are attributable
+        "cnn_kf_count": n_kf,
+        "cnn_inliers_p50": float(np.percentile(
+            np.asarray(inliers, float), 50)),
     }
     if len(est) > 20:
         err = float(ate.ate_rmse(np.asarray(est), np.asarray(gtc),
@@ -781,16 +848,19 @@ def _vi_metrics(smoke: bool, _ms: float) -> dict:
             rows.append(np.concatenate([R.T @ (a_w - GRAV), w_b, [h]]))
         return np.asarray(rows, np.float32)
 
+    # PRODUCTION shapes (VERDICT r4 next #4): 1024 slots / 256-d local /
+    # 4096-d global, matching the stack + loop sections
     cam = cameras.pinhole(450.0, 450.0, 320.0, 240.0, 640, 480)
-    world = SyntheticWorld.cloud(seed=5, n_landmarks=1400, extent=16.0,
-                                 center=(0, 0, 10.0), desc_dim=64)
-    ext = FakeExtractor(world, cam, pad_to=512, noise_px=0.3,
-                        desc_noise=0.03, max_landmarks_per_frame=480, seed=7)
+    world = SyntheticWorld.cloud(seed=5, n_landmarks=1800, extent=16.0,
+                                 center=(0, 0, 10.0), desc_dim=256)
+    ext = FakeExtractor(world, cam, pad_to=1024, noise_px=0.3,
+                        desc_noise=0.03, max_landmarks_per_frame=900, seed=7,
+                        gdesc_dim=4096)
     cfg = SystemConfig(
-        k_max=128, m_max=8192, n_slots=512, desc_dim=64, gdesc_dim=64,
+        k_max=128, m_max=16384, n_slots=1024, desc_dim=256, gdesc_dim=4096,
         loop_closing=False,
         tracker=TrackerConfig(local_mp_cap=2048, min_init_med_parallax_deg=2.0),
-        mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=2048, ba_edge_cap=8192,
+        mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=4096, ba_edge_cap=16384,
                             tri_neighbors=5),
         vi=VIConfig(t_init=1.5, t_viba1=3.5, t_viba2=8.0, min_kfs_for_init=6,
                     meas_cap=512),

@@ -106,6 +106,28 @@ def _robust_cost(chi2, delta2, robust):
     return jnp.where(robust, huber, chi2)
 
 
+def inv3_sym(A):
+    """Closed-form inverse of batched SYMMETRIC 3x3 matrices (adjugate /
+    determinant) — elementwise ops only. Batched jnp.linalg.inv lowers to
+    generic LU kernels that dominate the LM step for the (M,3,3) landmark
+    blocks; the damped Hpp is PD so the determinant is safely positive."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e = A[..., 1, 1], A[..., 1, 2]
+    f = A[..., 2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    det = a * co00 + b * co01 + c * co02
+    inv_det = 1.0 / det
+    row0 = jnp.stack([co00, co01, co02], -1)
+    row1 = jnp.stack([co01, co11, co12], -1)
+    row2 = jnp.stack([co02, co12, co22], -1)
+    return jnp.stack([row0, row1, row2], -2) * inv_det[..., None, None]
+
+
 @partial(jax.jit, static_argnames=("cam_kind", "n_iters", "robust"))
 def ba_iterate(cam_kind, cam_params, prob: BAProblem, n_iters: int, robust: bool, chi2_th: float):
     """Run n_iters of LM with landmark marginalization. Returns updated prob.
@@ -168,7 +190,7 @@ def ba_iterate(cam_kind, cam_params, prob: BAProblem, n_iters: int, robust: bool
         Hpp_d = Hpp + (lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-8)[..., None] * eye3
         Hcc_d = Hcc + (lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-8)[..., None] * eyeK6
 
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hpp_inv = inv3_sym(Hpp_d)
 
         # --- Schur complement: S = Hcc - W Hpp^-1 W^T -------------------
         WHinv = jnp.einsum("mkac,mcd->mkad", Wcp, Hpp_inv)  # (M,K,6,3)
@@ -205,7 +227,10 @@ def ba_iterate(cam_kind, cam_params, prob: BAProblem, n_iters: int, robust: bool
         t_new = t_new.astype(poses_t.dtype)
         pts_new = points + dp
 
-        costs_old = edge_costs(poses_R, poses_t, points)
+        # current-state costs come free from the residuals already
+        # evaluated above (edge_costs would re-run the whole vmap)
+        costs_old = _robust_cost(chi2, delta2, robust) \
+            * (prob.valid * (depth > 0))
         costs_new = edge_costs(R_new, t_new, pts_new)
         dcost = jnp.sum(costs_new - costs_old)
         c_new = jnp.sum(costs_new)

@@ -501,6 +501,27 @@ class DeviceKFBank:
         self.mask = jnp.array(s.kf_mask, copy=True)
         self.obs = jnp.array(s.kf_obs, copy=True)
         self.xn = _unproject_rows(self.cam_kind, self.cam_params, self.xy)
+        self._warm_scatters()
+
+    def _warm_scatters(self):
+        """Pre-compile the fixed-shape scatter programs with no-op calls
+        (padding ids drop out of bounds): the FIRST keyframe inserted
+        after a full upload otherwise pays its scatter compile inside the
+        steady-state tracking loop (steady_state_compiles > 0)."""
+        s = self.store
+        K, N, D = s.k_max, s.n_slots, s.desc_dim
+        ids_f = jnp.full(self.CHUNK_FEAT, K, jnp.int32)
+        (self.xy, self.desc, self.octave, self.mask,
+         self.xn) = _scatter_kf_feat(
+            self.cam_kind, self.cam_params,
+            self.xy, self.desc, self.octave, self.mask, self.xn, ids_f,
+            np.zeros((self.CHUNK_FEAT, N, 2), np.float32),
+            np.zeros((self.CHUNK_FEAT, N, D), np.float32),
+            np.zeros((self.CHUNK_FEAT, N), np.int32),
+            np.zeros((self.CHUNK_FEAT, N), bool))
+        self.obs = _scatter_kf_obs(
+            self.obs, jnp.full(self.CHUNK_OBS, K, jnp.int32),
+            np.full((self.CHUNK_OBS, N), -1, np.int32))
 
     def sync(self):
         """Bring the bank up to date. Call under the map lock."""

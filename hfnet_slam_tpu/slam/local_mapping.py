@@ -93,8 +93,13 @@ class MapperConfig:
     # fiba_max_joint keyframes — the reference optimizes every KF in one
     # g2o problem; beyond that the overlapping-chunk sweep takes over
     fiba_kf_cap: int = 48        # chunk window for the beyond-joint sweep
-    fiba_max_joint: int = 256    # largest single joint VI problem
+    fiba_max_joint: int = 256    # largest SINGLE-DEVICE joint VI problem
     fiba_rounds: tuple = ((8, True), (12, False))
+    # past fiba_max_joint: route ONE joint solve through the distributed
+    # VI-BA (parallel/dist_vi_ba.py — landmarks sharded over the mesh, the
+    # 15-d chain replicated) instead of the overlapping-chunk Gauss-Seidel
+    # approximation; False keeps the chunked sweep (no-mesh fallback)
+    fiba_dist: bool = True
 
 
 class LocalMapper:
@@ -925,8 +930,33 @@ class LocalMapper:
             if res:
                 opt_all.extend(int(i) for i in res["kf_ids"])
                 mp_all.extend(int(i) for i in res["mp_ids"])
+        elif cfg.fiba_dist:
+            # ---- distributed JOINT solve (VERDICT r4 next #6): the
+            # reference's uncapped one-problem semantics (Optimizer.cc:
+            # 392-813) preserved past the single-device memory cap —
+            # landmarks + visual edges shard over the mesh, the 15-d
+            # chain + inertial links replicate (parallel/dist_vi_ba.py)
+            Kp = 1 << max(3, int(len(kf_ids) - 1).bit_length())
+            with self.lock:
+                n_mp = int(store.mp_valid.sum())
+                n_obs = int((store.kf_obs[kf_ids] >= 0).sum())
+            Mp = 1 << max(6, int(max(n_mp, 1) - 1).bit_length())
+            Ep = 1 << max(8, int(max(n_obs, 1) - 1).bit_length())
+            warn(f"full_inertial_ba: {len(kf_ids)} KFs > fiba_max_joint="
+                 f"{cfg.fiba_max_joint}; distributed joint solve")
+            res = self._run_inertial_ba(
+                opt_ids=kf_ids, fixed_ids=[], vim=vim, mp_ids=None,
+                rounds=rounds, kf_cap=Kp, mp_cap=Mp, edge_cap=Ep,
+                prior_g=prior_g, prior_a=prior_a,
+                should_abort=should_abort, use_dist=True,
+            )
+            if res is None:
+                return
+            if res:
+                opt_all.extend(int(i) for i in res["kf_ids"])
+                mp_all.extend(int(i) for i in res["mp_ids"])
         else:
-            # ---- overlapping-chunk sweeps (maps beyond one problem) ------
+            # ---- overlapping-chunk sweeps (no-mesh fallback) -------------
             W = cfg.fiba_kf_cap
             overlap = min(8, max(2, W // 4))
             warn(f"full_inertial_ba: {len(kf_ids)} KFs > fiba_max_joint="
@@ -982,7 +1012,8 @@ class LocalMapper:
 
     def _run_inertial_ba(self, opt_ids, fixed_ids, vim, mp_ids, rounds,
                          kf_cap, prior_g=0.0, prior_a=0.0, should_abort=None,
-                         mp_cap=None, edge_cap=None, abort_mode="discard"):
+                         mp_cap=None, edge_cap=None, abort_mode="discard",
+                         use_dist=False):
         """Build a fixed-capacity VIBAProblem from the store + IMU chain,
         solve, write back body states and landmarks. Returns the solved
         id sets (dict), {} when there was nothing to solve, or None when
@@ -1000,9 +1031,17 @@ class LocalMapper:
         if built is None:
             return {}
         prob, kf_ids, mp_ids, fixed, fix_pose_only, kf_e, slot_e, n_e = built
-        out = vi_ba.vi_bundle_adjust(self.cam.kind, self.cam.params, prob,
-                                     rounds=rounds,
-                                     should_abort=should_abort)
+        if use_dist:
+            from ..parallel import dist_vi_ba
+
+            mesh = self.mesh if self.mesh is not None else self._default_mesh()
+            out = dist_vi_ba.dist_vi_bundle_adjust(
+                self.cam.kind, self.cam.params, prob, mesh, rounds=rounds,
+                should_abort=should_abort)
+        else:
+            out = vi_ba.vi_bundle_adjust(self.cam.kind, self.cam.params,
+                                         prob, rounds=rounds,
+                                         should_abort=should_abort)
         with self.lock:
             if (abort_mode == "discard" and should_abort is not None
                     and should_abort()):
