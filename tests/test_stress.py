@@ -156,3 +156,105 @@ def test_mapping_pause_handshake_no_toctou():
         w.stop()
     assert not overlap[0], \
         "worker processed a keyframe while request_pause had returned"
+
+
+# ---------------------------------------------------------------------------
+# slow tier: whole-stack async stress (VERDICT r4 next #8 — the round-4
+# crash class was "green suite, red bench": no test drove tracking +
+# mapping + loop closing + merges concurrently for wall-clock minutes)
+# ---------------------------------------------------------------------------
+
+def check_store_invariants(store):
+    """Structural invariants that the concurrent association paths
+    (tracker claims, fuse replacements, culling, merges) must preserve.
+    Call under the map lock."""
+    obs = store.kf_obs.copy()
+    obs[~store.kf_valid] = -1
+    counts = np.zeros(store.m_max, np.int32)
+    live = obs[obs >= 0]
+    np.add.at(counts, live, 1)
+    np.testing.assert_array_equal(
+        counts, store.mp_obs_count,
+        err_msg="mp_obs_count out of sync with kf_obs")
+    assert store.mp_valid[live].all(), "observation of a removed point"
+    assert np.isfinite(store.kf_R[store.kf_valid]).all()
+    assert np.isfinite(store.kf_t[store.kf_valid]).all()
+    assert np.isfinite(store.mp_pos[store.mp_valid]).all()
+
+
+@pytest.mark.slow
+def test_async_full_stack_stress():
+    """Minutes of flat-out async tracking + mapping + loop corrections +
+    a forced map split and merge-back, with structural invariants checked
+    under the lock throughout and worker exceptions re-raised at the end."""
+    from hfnet_slam_tpu.models.fake import FakeExtractor, SyntheticWorld
+    from hfnet_slam_tpu.slam.local_mapping import MapperConfig
+    from hfnet_slam_tpu.slam.loop_closing import LoopCloserConfig
+    from hfnet_slam_tpu.slam.system import SLAMSystem, SystemConfig
+    from hfnet_slam_tpu.slam.tracking import TrackerConfig
+
+    cam = cameras.pinhole(450.0, 450.0, 320.0, 240.0, 640, 480)
+    rng = np.random.default_rng(11)
+    n_lm = 4000
+    th = rng.uniform(0, 2 * np.pi, n_lm)
+    rr = rng.uniform(12.0, 20.0, n_lm)
+    pts = np.stack([rr * np.sin(th), rng.uniform(-4.0, 4.0, n_lm),
+                    6.0 - rr * np.cos(th)], 1).astype(np.float32)
+    d = rng.standard_normal((n_lm, 64)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    world = SyntheticWorld(pts, d, rng)
+    ext = FakeExtractor(world, cam, pad_to=512, noise_px=0.4,
+                        desc_noise=0.03, max_landmarks_per_frame=480,
+                        seed=7, max_depth=25.0)
+    cfg = SystemConfig(
+        k_max=256, m_max=16384, n_slots=512, desc_dim=64, gdesc_dim=64,
+        async_mapping=True,
+        tracker=TrackerConfig(local_mp_cap=2048,
+                              min_init_med_parallax_deg=1.0),
+        mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=2048, ba_edge_cap=8192,
+                            tri_neighbors=5),
+        loop=LoopCloserConfig(
+            min_pair_matches=30, min_sim3_inliers=15, min_proj_matches=30,
+            consistency_hits=1, n_covis_window=5, window_mp_cap=2048,
+            gba_kf_cap=48, gba_mp_cap=4096, gba_edge_cap=16384,
+            ransac_hyps=256),
+    )
+    sys_ = SLAMSystem(cam, ext, cfg)
+
+    def pose(i):
+        radius = 6.0
+        a = 4.4 * np.pi * (i % 330) / 330.0
+        out = np.array([np.sin(a), 0.0, -np.cos(a)])
+        c = np.array([0.0, 0.0, radius]) + radius * out \
+            + np.array([0.0, 0.15 * np.sin(0.1 * i), 0.0])
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, out)
+        right /= np.linalg.norm(right)
+        R_wc = np.stack([right, np.cross(out, right), out], 1)
+        return R_wc.T.astype(np.float32), (-R_wc.T @ c).astype(np.float32)
+
+    n_frames = 480
+    ts_off = 0.0
+    tracked = 0
+    try:
+        for i in range(n_frames):
+            if i == 240:
+                ts_off = 30.0  # timestamp jump: LOST -> new map -> merge-back
+            R, t = pose(i)
+            _, Re, te = sys_.track_features(ext(R, t), 0.05 * i + ts_off)
+            if Re is not None:
+                tracked += 1
+                assert np.isfinite(Re).all() and np.isfinite(te).all()
+            if i % 40 == 39:
+                with sys_.worker.map_lock:
+                    check_store_invariants(sys_.store)
+        sys_.finish()  # drain: re-raises any worker exception
+    finally:
+        sys_.shutdown()
+    with sys_.worker.map_lock:
+        check_store_invariants(sys_.store)
+    lc = sys_.loop_closer
+    # the concurrent paths must actually have been exercised
+    assert lc is not None and lc.stats["checked"] > 0
+    assert (lc.stats["corrected"] + lc.stats["merged"]) >= 1, lc.stats
+    assert tracked > 0.7 * n_frames
