@@ -691,11 +691,18 @@ def _cnn_metrics(smoke: bool, _ms: float) -> dict:
     # tunnel the alternative (whole stack on the remote device) pays a
     # round-trip per kernel and measures the tunnel, not the framework
     accel = None
-    # HFNET_CNN_STACK=accel runs the WHOLE stack on the accelerator (the
-    # co-located deployment: the fused tracker is ONE dispatch + ONE fetch
-    # per frame, so even through the tunnel it can beat the 2-core CPU
-    # host); default keeps the tracker on CPU (reference deployment shape)
-    stack_on_accel = os.environ.get("HFNET_CNN_STACK") == "accel"
+    # HFNET_CNN_STACK selects the deployment split:
+    #   cpu (default) — tracker + map mirrors on the host CPU backend
+    #     (the reference's deployment shape);
+    #   hybrid — the device-resident map mirror + keyframe bank live on
+    #     the ACCELERATOR, so the fused tracker and the banked mapping
+    #     kernels run there (one dispatch + one fetch per frame / per
+    #     mapping stage) while host bookkeeping and the small staged
+    #     kernels stay on CPU;
+    #   accel — everything on the accelerator (pays a tunnel round-trip
+    #     per small kernel here; only sensible co-located).
+    stack_mode = os.environ.get("HFNET_CNN_STACK", "cpu")
+    stack_on_accel = stack_mode == "accel"
     if jax.default_backend() == "tpu" and not stack_on_accel:
         from hfnet_slam_tpu.models.extractor import Features
 
@@ -736,13 +743,31 @@ def _cnn_metrics(smoke: bool, _ms: float) -> dict:
     cfg = SystemConfig(
         k_max=128, m_max=16384, n_slots=pad, desc_dim=256, gdesc_dim=4096,
         loop_closing=False, baseline=0.1,
-        tracker=TrackerConfig(local_mp_cap=2048, bf=bf, th_high=0.6,
-                              th_low=0.5, motion_window=8.0,
+        # hybrid split: mapping kernels ride the accelerator asynchronously
+        # (their device waits release the GIL and overlap tracking)
+        async_mapping=(stack_mode == "hybrid"),
+        # the REFERENCE's tuned matching operating point (Matcher.cc:33-34:
+        # TH_HIGH 0.75 / TH_LOW 0.6). Round 4 ran stricter 0.6/0.5 gates
+        # "for the weaker self-trained descriptors" — backwards: stricter
+        # gates REJECT matches, starved tracking (~130 inliers of 675) and
+        # triggered the close-point keyframe condition nearly every frame
+        # (60 KFs / 120 frames, ~1 s of mapping each — the real fps killer)
+        tracker=TrackerConfig(local_mp_cap=2048, bf=bf, th_high=0.75,
+                              th_low=0.6, motion_window=8.0,
                               local_window=3.0, th_depth=30.0),
         mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=4096, ba_edge_cap=16384,
                             tri_neighbors=5, bf=bf),
     )
     sys_ = SLAMSystem(cam, ext, cfg)
+    if accel is not None and stack_mode == "hybrid":
+        # pre-create the device-resident mirrors ON the accelerator: every
+        # kernel whose inputs they feed (fused track_step, banked
+        # triangulate/fuse) then follows them there; numpy-built problems
+        # (LBA, pose-opt fallbacks) stay on the CPU backend
+        from hfnet_slam_tpu.slam import fused as _fused
+
+        _fused.get_device_map(sys_.store, device=accel)
+        _fused.get_kf_bank(sys_.store, cam, device=accel)
     frames = [world.render_rgbd(*world.orbit_pose(i)) for i in range(n_frames)]
     est, gtc, states, inliers = [], [], [], []
     warm = min(20, n_frames // 3)

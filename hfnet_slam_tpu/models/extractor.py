@@ -132,6 +132,9 @@ def _extract_pyramid(params, image, *, cfg) -> Features:
 
         k = max(int(cfg["budgets"][lvl]), 1)
         xy, sc, mk = X.select_keypoints(scores, None, cfg["threshold"], k)
+        # subpixel peak refinement on the RAW (pre-NMS) score map — the
+        # reference keeps integer keypoints; see ops/extract.refine_subpixel
+        xy = X.refine_subpixel(scores_dense[0].astype(jnp.float32), xy)
         # Sampling uses the reference's own (w/8-1)/(w-1) align-corners
         # convention exactly (HFNetRTModel.cc:147-149).
         desc = X.sample_descriptors(dm, xy, (h, w))

@@ -67,22 +67,32 @@ class DeviceMap:
     are padded to power-of-two lengths so the compile count stays bounded.
     """
 
-    def __init__(self, store):
+    def __init__(self, store, device=None):
         self.store = store
+        # optional explicit placement: hybrid deployments pin the mirror
+        # to the ACCELERATOR while the process default stays on the CPU
+        # backend — every kernel the tables feed then runs there
+        self.device = device
         self._upload_all()
 
-    def _upload_all(self):
+    def _put(self, x):
         # explicit copies: on CPU backends jnp.asarray may ZERO-COPY alias
         # the store's numpy buffers, and the host mutates those in place
         # (mp_pos writes in BA write-back / loop propagation) — an aliased
-        # mirror tears mid-read and breaks snapshot() semantics
+        # mirror tears mid-read and breaks snapshot() semantics. The
+        # np.array temp below is never mutated, so aliasing IT is safe.
+        if self.device is not None:
+            return jax.device_put(np.array(x, copy=True), self.device)
+        return jnp.array(x, copy=True)
+
+    def _upload_all(self):
         s = self.store
-        self.pos = jnp.array(s.mp_pos, copy=True)
-        self.desc = jnp.array(s.mp_desc, copy=True)
-        self.normal = jnp.array(s.mp_normal, copy=True)
-        self.dmin = jnp.array(s.mp_dmin, copy=True)
-        self.dmax = jnp.array(s.mp_dmax, copy=True)
-        self.valid = jnp.array(s.mp_valid, copy=True)
+        self.pos = self._put(s.mp_pos)
+        self.desc = self._put(s.mp_desc)
+        self.normal = self._put(s.mp_normal)
+        self.dmin = self._put(s.mp_dmin)
+        self.dmax = self._put(s.mp_dmax)
+        self.valid = self._put(s.mp_valid)
 
     # fixed scatter chunk: ONE compiled shape for every incremental sync
     # (variable pow2 buckets were a steady-state compile leak)
@@ -156,12 +166,13 @@ def _scatter_tables(pos, desc, normal, dmin, dmax, valid, idx,
             valid.at[idx].set(r_valid, mode="drop"))
 
 
-def get_device_map(store) -> DeviceMap:
+def get_device_map(store, device=None) -> DeviceMap:
     """Cached DeviceMap attached to a MapStore (shared by the tracker and
-    the mapping worker; both sync under the map lock)."""
+    the mapping worker; both sync under the map lock). `device` pins the
+    mirror on first creation (hybrid deployments; ignored afterwards)."""
     dm = getattr(store, "_device_map", None)
     if dm is None:
-        dm = DeviceMap(store)
+        dm = DeviceMap(store, device=device)
         store._device_map = dm
     return dm
 
@@ -485,21 +496,30 @@ class DeviceKFBank:
     CHUNK_FEAT = 4
     CHUNK_OBS = 16
 
-    def __init__(self, store, cam_kind, cam_params):
+    def __init__(self, store, cam_kind, cam_params, device=None):
         self.store = store
         self.cam_kind = cam_kind
-        self.cam_params = jnp.asarray(cam_params)
+        self.device = device  # see DeviceMap.device
+        if device is not None:
+            self.cam_params = jax.device_put(np.asarray(cam_params), device)
+        else:
+            self.cam_params = jnp.asarray(cam_params)
         self._upload_all()
+
+    def _put(self, x):
+        # explicit copies: CPU backends may zero-copy alias numpy buffers
+        # the host mutates in place (see DeviceMap._put)
+        if self.device is not None:
+            return jax.device_put(np.array(x, copy=True), self.device)
+        return jnp.array(x, copy=True)
 
     def _upload_all(self):
         s = self.store
-        # explicit copies: CPU backends may zero-copy alias numpy buffers
-        # the host mutates in place (see DeviceMap._upload_all)
-        self.xy = jnp.array(s.kf_xy, copy=True)
-        self.desc = jnp.array(s.kf_desc, copy=True)
-        self.octave = jnp.array(s.kf_octave, copy=True)
-        self.mask = jnp.array(s.kf_mask, copy=True)
-        self.obs = jnp.array(s.kf_obs, copy=True)
+        self.xy = self._put(s.kf_xy)
+        self.desc = self._put(s.kf_desc)
+        self.octave = self._put(s.kf_octave)
+        self.mask = self._put(s.kf_mask)
+        self.obs = self._put(s.kf_obs)
         self.xn = _unproject_rows(self.cam_kind, self.cam_params, self.xy)
         self._warm_scatters()
 
@@ -593,12 +613,13 @@ def _scatter_kf_obs(obs, idx, rows):
     return obs.at[idx].set(rows, mode="drop")
 
 
-def get_kf_bank(store, cam) -> DeviceKFBank:
+def get_kf_bank(store, cam, device=None) -> DeviceKFBank:
     """Cached DeviceKFBank attached to a MapStore (shared by the mapping
-    worker and the loop closer; both sync under the map lock)."""
+    worker and the loop closer; both sync under the map lock). `device`
+    pins the bank on first creation (hybrid deployments)."""
     bank = getattr(store, "_kf_bank", None)
     if bank is None:
-        bank = DeviceKFBank(store, cam.kind, cam.params)
+        bank = DeviceKFBank(store, cam.kind, cam.params, device=device)
         store._kf_bank = bank
     return bank
 

@@ -374,9 +374,20 @@ class LoopCloser:
                 if hit is None:
                     continue
                 # the weld mutates both maps + the tracker: map lock held
-                # (detection above ran lock-free; execute_merge re-checks)
-                with self.lock:
-                    merged = sys_.execute_merge(idx, k, cand, *hit)
+                # (detection above ran lock-free; execute_merge re-checks).
+                # Mapping is paused like the reference's MergeLocal
+                # RequestStop (LoopClosing.cc:1355-) — a keyframe culled
+                # mid-weld would otherwise race the fuse apply (advisor r4
+                # finding #2; the apply also re-checks kf/mp validity).
+                mw = self.mapping_worker
+                if mw is not None:
+                    mw.request_pause()
+                try:
+                    with self.lock:
+                        merged = sys_.execute_merge(idx, k, cand, *hit)
+                finally:
+                    if mw is not None:
+                        mw.resume()
                 if merged:
                     self.stats["merged"] += 1
                     return True

@@ -88,6 +88,25 @@ def search_by_projection(
     return idx, uv, mp_ok
 
 
+def _dispatch_platform(*arrs) -> str:
+    """Platform this dispatch will actually LOWER for. jax.default_backend()
+    alone is wrong in split deployments: a TPU-backend process with
+    jax_default_device pinned to CPU (the bench's CNN section, any
+    host-pinned stack next to an accelerator extractor) lowers
+    numpy-input calls for CPU — routing those to a Pallas TPU kernel
+    raises 'Only interpret mode is supported on CPU backend'."""
+    for a in arrs:
+        if isinstance(a, jax.Array):
+            try:
+                return next(iter(a.devices())).platform
+            except Exception:  # pragma: no cover - exotic array types
+                pass
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
 def search_brute_force(descA, maskA, descB, maskB, max_dist: float = M.TH_LOW, ratio: float = 1.0):
     """Mutual brute-force matching (the reference's SearchByBoW —
     cv::BFMatcher(NORM_L2, crossCheck), src/Matcher.cc:220-263).
@@ -97,7 +116,7 @@ def search_brute_force(descA, maskA, descB, maskB, max_dist: float = M.TH_LOW, r
     the similarity matrix in HBM, ~1.8x the XLA path); elsewhere it falls
     back to the XLA matcher."""
     if (
-        jax.default_backend() == "tpu"
+        _dispatch_platform(descA, descB) == "tpu"
         and descA.shape[0] % 128 == 0
         and descA.shape[1] % 128 == 0
         and descB.shape[0] % 128 == 0

@@ -158,3 +158,52 @@ def test_undistort_identity_without_dist():
     assert cam.dist is None
     cam0 = C.pinhole(450.0, 450.0, 320.0, 240.0, 640, 480, dist=(0.0, 0.0))
     assert cam0.dist is None  # all-zero coefficients collapse to ideal
+
+
+def test_triangulate_gn_refinement_low_parallax():
+    """Advisor r4 finding #5: the inhomogeneous f32 DLT squares the
+    conditioning; at low parallax the raw solve is visibly noisier than
+    the geometric optimum. The GN refinement step must cut the 3D error
+    versus the raw DLT on a low-parallax ensemble (and never hurt)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hfnet_slam_tpu.geometry import triangulation as T
+
+    rng = np.random.default_rng(0)
+    n = 512
+    pts = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                    rng.uniform(18.0, 25.0, n)], 1).astype(np.float32)
+    # tiny baseline (0.08 at ~20 m depth: ~0.2 deg parallax)
+    R21 = np.eye(3, dtype=np.float32)
+    t21 = np.array([-0.08, 0.0, 0.0], np.float32)
+    xn1 = pts[:, :2] / pts[:, 2:3]
+    p2 = pts @ R21.T + t21
+    xn2 = p2[:, :2] / p2[:, 2:3]
+    noise = 0.5 / 450.0  # 0.5 px at fx = 450
+    xn1n = (xn1 + rng.normal(0, noise, xn1.shape)).astype(np.float32)
+    xn2n = (xn2 + rng.normal(0, noise, xn2.shape)).astype(np.float32)
+
+    raw = np.asarray(T.triangulate_dlt(jnp.asarray(xn1n), jnp.asarray(xn2n),
+                                       jnp.asarray(R21), jnp.asarray(t21),
+                                       refine=0))
+    ref = np.asarray(T.triangulate_dlt(jnp.asarray(xn1n), jnp.asarray(xn2n),
+                                       jnp.asarray(R21), jnp.asarray(t21),
+                                       refine=1))
+    ok = np.isfinite(raw).all(1) & np.isfinite(ref).all(1) \
+        & (raw[:, 2] > 0) & (ref[:, 2] > 0)
+    e_raw = np.linalg.norm(raw[ok] - pts[ok], axis=1)
+    e_ref = np.linalg.norm(ref[ok] - pts[ok], axis=1)
+    # refined reprojection residual must not exceed the raw one
+    def reproj_err(X):
+        r1 = X[:, :2] / X[:, 2:3] - xn1n[ok]
+        p2_ = X @ R21.T + t21
+        r2 = p2_[:, :2] / p2_[:, 2:3] - xn2n[ok]
+        return (r1 ** 2).sum() + (r2 ** 2).sum()
+    assert reproj_err(ref[ok]) <= reproj_err(raw[ok]) * 1.001
+    assert np.median(e_ref) <= np.median(e_raw) * 1.001
+
+    # exact-measurement sanity: both recover the points
+    exact = np.asarray(T.triangulate_dlt(jnp.asarray(xn1), jnp.asarray(xn2),
+                                         jnp.asarray(R21), jnp.asarray(t21)))
+    assert np.median(np.linalg.norm(exact - pts, axis=1)) < 0.05

@@ -128,3 +128,29 @@ class TestExtractor:
         f2 = ext(img)
         np.testing.assert_array_equal(f.xy, f2.xy)
         np.testing.assert_array_equal(f.desc, f2.desc)
+
+
+def test_refine_subpixel_recovers_gaussian_peak():
+    """A Gaussian bump with a known fractional center: the 3-tap quadratic
+    refinement must recover the subpixel offset to ~0.1 px and never move
+    a keypoint by more than half a pixel."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hfnet_slam_tpu.ops import extract as X
+
+    H, W = 32, 40
+    cx, cy = 17.3, 11.6  # true subpixel peak
+    ys, xs = np.mgrid[0:H, 0:W]
+    s = np.exp(-((xs - cx) ** 2 + (ys - cy) ** 2) / (2 * 1.5 ** 2))
+    xy_int = np.array([[17.0, 12.0]], np.float32)  # integer argmax
+    out = np.asarray(X.refine_subpixel(jnp.asarray(s.astype(np.float32)),
+                                       jnp.asarray(xy_int)))
+    assert abs(out[0, 0] - cx) < 0.1, out
+    assert abs(out[0, 1] - cy) < 0.1, out
+    assert np.all(np.abs(out - xy_int) <= 0.5 + 1e-6)
+    # border keypoints stay put
+    edge = np.array([[0.0, 5.0], [39.0, 31.0]], np.float32)
+    out_e = np.asarray(X.refine_subpixel(jnp.asarray(s.astype(np.float32)),
+                                         jnp.asarray(edge)))
+    np.testing.assert_array_equal(out_e, edge)
