@@ -510,9 +510,13 @@ def _loop_metrics(smoke: bool, _ms: float) -> dict:
     # noisier measurements than the browse section: monocular drift must
     # actually ACCUMULATE over a lap for loop closure to have something to
     # correct (at 0.3 px the synthetic rig re-localizes against lap-1
-    # points drift-free and every detected loop is a no-op identity)
+    # points drift-free and every detected loop is a no-op identity).
+    # desc_noise is PER-COMPONENT: 0.02 at 256-d gives the same 0.32
+    # perturbation magnitude (matching difficulty) the quarter-scale
+    # scenario had at 64-d with 0.04 — 0.04 at 256-d is a 0.64-magnitude
+    # corruption that matches NOTHING through the 0.6/0.75 gates.
     ext = FakeExtractor(world, cam, pad_to=1024, noise_px=0.5,
-                        desc_noise=0.04, max_landmarks_per_frame=900, seed=7,
+                        desc_noise=0.02, max_landmarks_per_frame=900, seed=7,
                         max_depth=25.0, gdesc_dim=4096)
     cfg = SystemConfig(
         k_max=256, m_max=16384, n_slots=1024, desc_dim=256, gdesc_dim=4096,
@@ -543,13 +547,22 @@ def _loop_metrics(smoke: bool, _ms: float) -> dict:
 
     feats_all = [ext(*gt_pose(i)) for i in range(n_frames)]
 
-    def run_circuit(use_cfg=None, paced=True):
-        """Frames PACED at the sequence's native 20 fps (ts step 0.05 s)
-        like a real camera: feeding flat-out starves the mapping worker of
+    def run_circuit(use_cfg=None, paced=True, pace_s=0.05):
+        """Frames PACED like a real camera (timestamps stay the sequence's
+        native 20 fps): feeding flat-out starves the mapping worker of
         wall-time and turns the run into a nondeterministic race — the
-        measurement here is tracking latency THROUGH corrections at the
-        production frame rate, not maximum enqueue throughput (that is
-        slam_stack_fps's job)."""
+        measurement here is tracking latency THROUGH corrections, not
+        maximum enqueue throughput (that is slam_stack_fps's job).
+
+        pace_s is the WALL pace between frames. At production shapes one
+        tracked frame costs ~130 ms of this 2-core host's CPU; pacing at
+        the camera's 50 ms would starve the async workers permanently and
+        measure host saturation, not the stack (the reference's ~50 FPS
+        assumes a host that tracks in real time). The measured pass paces
+        at the host's sustainable rate (~2x the warm median frame time,
+        like running a 20 fps dataset at reduced speed on a weak laptop);
+        p99/p50 then shows correction-induced stalls, which is the claim
+        under test."""
         sys_ = SLAMSystem(cam, ext, use_cfg or cfg)
         live_c, gt_c, when, frame_ms = [], [], [], []
         for i in range(n_frames):
@@ -563,16 +576,19 @@ def _loop_metrics(smoke: bool, _ms: float) -> dict:
                 gt_c.append(-R.T @ t)
                 when.append(i)
             if paced:
-                time.sleep(max(0.0, 0.05 - (f1 - f0)))
+                time.sleep(max(0.0, pace_s - (f1 - f0)))
         sys_.finish()
         return sys_, np.asarray(live_c), np.asarray(gt_c), when, frame_ms
 
     # pass 1 compiles every kernel on the circuit (incl. the correction +
     # GBA path at first loop closure); pass 2 measures warm frame times —
     # the p99 then shows SCHEDULING stalls (a blocking GBA), not compiles
-    warm_sys, _, _, _, _ = run_circuit()
+    # (the warm pass runs at a generous pace so it stays healthy long
+    # enough to reach its corrections and compile that path)
+    warm_sys, _, _, _, warm_ms = run_circuit(pace_s=0.15)
     warm_sys.shutdown()
-    sys_, live_c, gt_c, when, frame_ms = run_circuit()
+    pace = max(0.05, 2.0 * float(np.percentile(warm_ms[12:], 50)) / 1e3)
+    sys_, live_c, gt_c, when, frame_ms = run_circuit(pace_s=pace)
     # pre/post-correction ATE over the SAME frame set: entries whose
     # reference-keyframe chain resolves into the final map (pre-reset
     # segments live in a different gauge — mixing them makes the number
@@ -643,6 +659,7 @@ def _loop_metrics(smoke: bool, _ms: float) -> dict:
         "loop_sync_corrections": int(s_corr),
         "loop_frame_ms_p50": round(float(np.percentile(frame_ms, 50)), 2),
         "loop_frame_ms_p99": round(float(np.percentile(frame_ms, 99)), 2),
+        "loop_pace_ms": round(pace * 1e3, 1),
     }
 
 
@@ -878,8 +895,10 @@ def _vi_metrics(smoke: bool, _ms: float) -> dict:
     cam = cameras.pinhole(450.0, 450.0, 320.0, 240.0, 640, 480)
     world = SyntheticWorld.cloud(seed=5, n_landmarks=1800, extent=16.0,
                                  center=(0, 0, 10.0), desc_dim=256)
+    # desc_noise 0.015 at 256-d = the 64-d scenario's 0.03 perturbation
+    # magnitude (see the loop section's dimension-parity note)
     ext = FakeExtractor(world, cam, pad_to=1024, noise_px=0.3,
-                        desc_noise=0.03, max_landmarks_per_frame=900, seed=7,
+                        desc_noise=0.015, max_landmarks_per_frame=900, seed=7,
                         gdesc_dim=4096)
     cfg = SystemConfig(
         k_max=128, m_max=16384, n_slots=1024, desc_dim=256, gdesc_dim=4096,

@@ -215,6 +215,13 @@ class LoopCloser:
             "last_kf": int(k),
             "loop_mps": np.asarray(loop_mps),
             "miss": 0,
+            # slot ids are REUSED after keyframe culling: confirmation may
+            # run several keyframes after detection, and a recycled slot
+            # would silently point the pending loop at a DIFFERENT (even
+            # the current) keyframe — observed as a self-loop correction
+            # warping the map by its Sim3 scale. uids pin the identity.
+            "cand_uid": int(store.kf_uid[cand]),
+            "last_uid": int(store.kf_uid[k]),
         }
 
     def _refine_from_last_kf(self, k: int):
@@ -231,6 +238,11 @@ class LoopCloser:
         last, cand = pend["last_kf"], pend["cand"]
         if not (store.kf_valid[last] and store.kf_valid[cand]
                 and store.kf_valid[k]):
+            return None
+        # slot-reuse guard (see _remember_pending): the pending endpoints
+        # must still be the keyframes they were at detection time
+        if (int(store.kf_uid[cand]) != pend.get("cand_uid", -2)
+                or int(store.kf_uid[last]) != pend.get("last_uid", -2)):
             return None
         # S_cw = T_kl o S_lw (T_kl from CURRENT poses, scale 1)
         Rl, tl = store.kf_R[last], store.kf_t[last]
@@ -535,6 +547,13 @@ class LoopCloser:
                 # detection ran on the loop thread while mapping worked
                 # concurrently: either endpoint may have been CULLED since
                 if not (store.kf_valid[k] and store.kf_valid[cand]):
+                    return
+                # degenerate loop guard: a self- or covisible-"loop" is a
+                # slot-reuse artifact (uid guards upstream) or a detection
+                # slip — correcting along it warps the map by the Sim3
+                # scale with no drift to absorb (the reference never
+                # considers connected keyframes as loop candidates)
+                if int(cand) == int(k) or store.covis[k, cand] > 0:
                     return
                 kf_ids = store.valid_kf_ids()
                 pre_R = store.kf_R.copy()
