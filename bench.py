@@ -904,8 +904,13 @@ def _vi_metrics(smoke: bool, _ms: float) -> dict:
         k_max=128, m_max=16384, n_slots=1024, desc_dim=256, gdesc_dim=4096,
         loop_closing=False,
         tracker=TrackerConfig(local_mp_cap=2048, min_init_med_parallax_deg=2.0),
+        # inertial-window caps sized to the production shapes: the default
+        # iba caps (2048 points / 8192 edges) truncate a 10-KF window of
+        # 1024-slot keyframes and the dropped observations cost ~5% scale
+        # error at IMU init
         mapper=MapperConfig(ba_kf_cap=16, ba_mp_cap=4096, ba_edge_cap=16384,
-                            tri_neighbors=5),
+                            tri_neighbors=5, iba_mp_cap=4096,
+                            iba_edge_cap=16384),
         vi=VIConfig(t_init=1.5, t_viba1=3.5, t_viba2=8.0, min_kfs_for_init=6,
                     meas_cap=512),
     )
