@@ -396,11 +396,15 @@ class LoopCloser:
                     mw.request_pause()
                 try:
                     with self.lock:
-                        merged = sys_.execute_merge(idx, k, cand, *hit)
+                        k_new = sys_.execute_merge(idx, k, cand, *hit)
+                    if k_new is not False:
+                        # welding passes OFF the surgery lock (tracking
+                        # overlaps; mapping stays paused until resume)
+                        sys_.weld_after_merge(int(k_new), hit[-1])
                 finally:
                     if mw is not None:
                         mw.resume()
-                if merged:
+                if k_new is not False:
                     self.stats["merged"] += 1
                     return True
         return False

@@ -386,12 +386,30 @@ class SLAMSystem:
             elif getattr(e, "store", None) is active:
                 e.store = None
 
-        # weld: fuse duplicated landmarks around the seam, then polish the
-        # whole merged map (the reference runs a welding-window BA plus an
-        # essential-graph pass, LoopClosing.cc:1355-)
+        # the welding passes (seam fuse + window BA + global polish) run in
+        # weld_after_merge, OFF this lock-held surgery section — holding
+        # the map lock through them blocked tracking for ~7 s per merge at
+        # production shapes (and the seam fuse's internal lock release is
+        # a no-op at RLock depth 2)
+        return k_new
+
+    def weld_after_merge(self, k_new: int, win_mps) -> None:
+        """Welding passes after the merge surgery (the reference's
+        welding-window BA + SearchAndFuse inside MergeLocal,
+        LoopClosing.cc:1355-): seam fuse, window BA, global polish.
+        Call WITHOUT holding the map lock — every stage manages its own
+        locking, so tracking overlaps the solves; mapping stays paused by
+        the caller (the reference keeps LocalMapping stopped through the
+        weld, but never Tracking)."""
+        target = self.store
         if self.loop_closer is not None:
-            window = [k_new] + [int(j) for j in target.covisible_kfs(k_new, n=8, min_weight=1)]
-            self.loop_closer._fuse_loop_points(window, np.asarray(win_mps))
+            with self.loop_closer.lock:
+                if target is self.store and target.kf_valid[k_new]:
+                    window = [k_new] + [
+                        int(j) for j in target.covisible_kfs(
+                            k_new, n=8, min_weight=1)]
+                    self.loop_closer._fuse_loop_points(
+                        window, np.asarray(win_mps))
         if self.mapper is not None:
             if target.imu_initialized and self.mapper.vim is not None:
                 # MergeInertialBA analogue (Optimizer.cc:3948): VI window
@@ -406,9 +424,6 @@ class SLAMSystem:
                     kf_cap=lc.gba_kf_cap, mp_cap=lc.gba_mp_cap,
                     edge_cap=lc.gba_edge_cap,
                 )
-            self.tracker.last_frame.R = target.kf_R[k_new].copy()
-            self.tracker.last_frame.t = target.kf_t[k_new].copy()
-        return True
 
     def _rewire(self, store):
         if getattr(self, "_mesh", None) is not None:

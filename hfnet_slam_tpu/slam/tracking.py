@@ -24,6 +24,7 @@ import dataclasses
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .. import lie
@@ -621,6 +622,28 @@ class Tracker:
         t = R_v @ t_l + t_v
         return R, t
 
+    def _unlocked(self, fn):
+        """Run a device dispatch + blocking fetch with the map lock
+        RELEASED. The staged fallback paths otherwise hold the lock for
+        their whole kernel wait — measured 300-900 ms per frame at
+        production shapes on a 2-core host, starving the mapping/loop
+        workers exactly like the fused-path wait used to (round 4 fixed
+        only the fused path). Inputs must be GATHERED (numpy-copied)
+        before the call; apply sections re-validate ids afterwards."""
+        self.lock.release()
+        try:
+            return fn()
+        finally:
+            self.lock.acquire()
+
+    def _revalidate_obs(self, obs):
+        """Mask observations whose points were culled while a kernel ran
+        off the lock."""
+        store = self.store
+        return np.where(
+            (obs >= 0) & store.mp_valid[np.clip(obs, 0, store.m_max - 1)],
+            obs, -1).astype(np.int32)
+
     def _pose_optimize_frame(self, frame, R0, t0):
         """Pose-only optimization over frame.obs. Returns inlier count.
         Observations with stereo/RGB-D depth get the 3-dof depth edge;
@@ -640,17 +663,22 @@ class Tracker:
             z_j, wz_j = jnp.asarray(z), jnp.asarray(wz.astype(np.float32))
         else:
             z_j = wz_j = jnp.zeros(len(obs))
-        res = pose_opt.pose_optimize(
-            self.cam.kind, self.cam.params,
-            jnp.asarray(R0), jnp.asarray(t0),
-            jnp.asarray(pts), frame.feats.xy,
-            jnp.asarray(inv_sigma2), jnp.asarray(valid),
-            z_meas=z_j, wz=wz_j,
-        )
-        frame.R = np.asarray(res["R"])
-        frame.t = np.asarray(res["t"])
+
+        def run():  # all inputs gathered above; solve waits OFF the lock
+            res = pose_opt.pose_optimize(
+                self.cam.kind, self.cam.params,
+                jnp.asarray(R0), jnp.asarray(t0),
+                jnp.asarray(pts), frame.feats.xy,
+                jnp.asarray(inv_sigma2), jnp.asarray(valid),
+                z_meas=z_j, wz=wz_j,
+            )
+            return jax.device_get(res)
+
+        res = self._unlocked(run)
+        frame.R = np.array(res["R"])
+        frame.t = np.array(res["t"])
         inlier = np.asarray(res["inlier"])
-        frame.obs = np.where(inlier, obs, -1).astype(np.int32)
+        frame.obs = self._revalidate_obs(np.where(inlier, obs, -1))
         return int(inlier.sum())
 
     def _pose_optimize_frame_vi(self, frame, R0, t0, pts, inv_sigma2, valid):
@@ -758,22 +786,29 @@ class Tracker:
         cap = self.cfg.local_mp_cap
         mp_pos, mp_desc, mp_valid, mp_ids_p = self._pad_mps(mp_ids, cap)
 
-        for radius in (cfg.motion_window, cfg.motion_window_retry):
-            idx, _, _ = search.search_by_projection(
-                self.cam.kind, self.cam.params, (self.cam.width, self.cam.height),
-                jnp.asarray(R0), jnp.asarray(t0),
-                mp_pos, mp_desc, mp_valid,
-                frame.feats.xy, frame.feats.desc, frame.feats.octave, frame.feats.mask,
-                radius=radius, max_dist=cfg.th_high,
-            )
-            idx = np.asarray(idx)
-            n = int((idx >= 0).sum())
-            if n >= cfg.min_motion_matches:
-                break
+        def run_search():  # kernels wait OFF the lock (inputs captured)
+            for radius in (cfg.motion_window, cfg.motion_window_retry):
+                idx, _, _ = search.search_by_projection(
+                    self.cam.kind, self.cam.params,
+                    (self.cam.width, self.cam.height),
+                    jnp.asarray(R0), jnp.asarray(t0),
+                    mp_pos, mp_desc, mp_valid,
+                    frame.feats.xy, frame.feats.desc, frame.feats.octave,
+                    frame.feats.mask,
+                    radius=radius, max_dist=cfg.th_high,
+                )
+                idx = np.asarray(idx)
+                n = int((idx >= 0).sum())
+                if n >= cfg.min_motion_matches:
+                    break
+            return idx, n
+
+        idx, n = self._unlocked(run_search)
         if n < cfg.min_motion_matches:
             return False
 
-        frame.obs = np.where(idx >= 0, mp_ids_p[np.clip(idx, 0, cap - 1)], -1).astype(np.int32)
+        frame.obs = self._revalidate_obs(
+            np.where(idx >= 0, mp_ids_p[np.clip(idx, 0, cap - 1)], -1))
         n_in = self._pose_optimize_frame(frame, R0, t0)
         self.n_inliers = n_in
         return n_in >= cfg.min_pose_inliers
@@ -784,18 +819,27 @@ class Tracker:
         k = self.ref_kf
         if k < 0 or not store.kf_valid[k]:
             return False
-        kf_obs = store.kf_obs[k]
+        # numpy COPIES under the lock: kf rows can be overwritten by slot
+        # reuse while the kernel waits off it, and CPU backends may
+        # zero-copy alias views
+        kf_obs = store.kf_obs[k].copy()
         maskB = (kf_obs >= 0) & store.kf_mask[k]
-        idx, _ = search.search_brute_force(
-            frame.feats.desc, frame.feats.mask,
-            jnp.asarray(store.kf_desc[k]), jnp.asarray(maskB),
-            max_dist=cfg.th_low, ratio=0.9,
-        )
-        idx = np.asarray(idx)
+        descB = np.array(store.kf_desc[k])
+
+        def run():
+            idx, _ = search.search_brute_force(
+                frame.feats.desc, frame.feats.mask,
+                jnp.asarray(descB), jnp.asarray(maskB),
+                max_dist=cfg.th_low, ratio=0.9,
+            )
+            return np.asarray(idx)
+
+        idx = self._unlocked(run)
         n = int((idx >= 0).sum())
         if n < cfg.min_ref_matches:
             return False
-        frame.obs = np.where(idx >= 0, kf_obs[np.clip(idx, 0, len(kf_obs) - 1)], -1).astype(np.int32)
+        frame.obs = self._revalidate_obs(np.where(
+            idx >= 0, kf_obs[np.clip(idx, 0, len(kf_obs) - 1)], -1))
         if self._vi_active():
             # after a dropout the last frame's pose is stale; the IMU
             # prediction is the right starting point (Tracking.cc:1285)
@@ -1137,20 +1181,27 @@ class Tracker:
             cap = cfg.local_mp_cap
             (mp_pos, mp_desc, mp_valid, ids_p, mp_normal, mp_dmin,
              mp_dmax) = self._pad_mps(local_mps, cap, with_stats=True)
-            idx, _, proj_ok = search.search_by_projection(
-                self.cam.kind, self.cam.params, (self.cam.width, self.cam.height),
-                jnp.asarray(frame.R), jnp.asarray(frame.t),
-                mp_pos, mp_desc, mp_valid,
-                frame.feats.xy, frame.feats.desc, frame.feats.octave, frame.feats.mask,
-                radius=cfg.local_window, max_dist=cfg.th_high, ratio=1.0,
-                mp_normal=mp_normal, mp_dmin=mp_dmin, mp_dmax=mp_dmax,
-            )
-            idx = np.asarray(idx)
+
+            def run():  # kernel waits OFF the lock (inputs captured)
+                idx, _, proj_ok = search.search_by_projection(
+                    self.cam.kind, self.cam.params,
+                    (self.cam.width, self.cam.height),
+                    jnp.asarray(frame.R), jnp.asarray(frame.t),
+                    mp_pos, mp_desc, mp_valid,
+                    frame.feats.xy, frame.feats.desc, frame.feats.octave,
+                    frame.feats.mask,
+                    radius=cfg.local_window, max_dist=cfg.th_high, ratio=1.0,
+                    mp_normal=mp_normal, mp_dmin=mp_dmin, mp_dmax=mp_dmax,
+                )
+                return np.asarray(idx), np.asarray(proj_ok)
+
+            idx, proj_ok = self._unlocked(run)
             # visibility statistics (visible = projected in frustum)
-            vis_ids = ids_p[np.asarray(proj_ok)[: len(ids_p)] & (ids_p >= 0)]
-            store.mp_visible[vis_ids] += 1
+            vis_ids = ids_p[proj_ok[: len(ids_p)] & (ids_p >= 0)]
+            store.mp_visible[vis_ids[store.mp_valid[vis_ids]]] += 1
             new = (idx >= 0) & (frame.obs < 0)
-            frame.obs = np.where(new, ids_p[np.clip(idx, 0, cap - 1)], frame.obs).astype(np.int32)
+            frame.obs = self._revalidate_obs(np.where(
+                new, ids_p[np.clip(idx, 0, cap - 1)], frame.obs))
 
         n_in = self._pose_optimize_frame(frame, frame.R, frame.t)
         self.n_inliers = n_in
