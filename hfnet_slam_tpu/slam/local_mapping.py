@@ -30,6 +30,7 @@ from ..geometry import imu as IMU
 from ..geometry import triangulation
 from ..optim import ba, factors, vi_ba
 from . import search
+from . import map as map_mod
 from .map import MapStore
 
 
@@ -174,7 +175,13 @@ class LocalMapper:
             # + UpdateNormalAndDepth after new observations, src/MapPoint.cc)
             seen = self.store.kf_obs[k]
             seen = np.unique(seen[seen >= 0])
-            self.store.refresh_point_descriptors(seen)
+            g = self.store.gather_distinctive(seen)
+        # the (P, 8, D) selection kernel waits OFF the lock — holding it
+        # through the wait blocked the tracker ~200 ms per keyframe
+        best = None if g is None else map_mod.distinctive_kernel(g[1], g[2])
+        with self.lock:
+            if best is not None:
+                self.store.apply_distinctive(g[0], best)
             self.store.update_point_stats(seen)
         if do_ba:
             # once the IMU is initialized the window BA is visual-inertial

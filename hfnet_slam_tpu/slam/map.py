@@ -511,18 +511,28 @@ class MapStore:
         src/MapPoint.cc) — one batched MXU kernel over up to max_obs
         observations per point (ops/matching.py::distinctive_descriptors).
         Points frozen at their creation-time mean drift away from what the
-        extractor actually fires on a corner; this keeps them matchable."""
-        import jax.numpy as jnp
+        extractor actually fires on a corner; this keeps them matchable.
 
-        from ..ops import matching as M
+        One-shot convenience wrapper; lock-aware callers use the 3-phase
+        gather_distinctive / distinctive_kernel / apply_distinctive split
+        so the kernel wait never holds the map lock."""
+        g = self.gather_distinctive(mp_ids, max_obs)
+        if g is None:
+            return
+        uniq, descs, mask = g
+        self.apply_distinctive(uniq, distinctive_kernel(descs, mask))
 
+    def gather_distinctive(self, mp_ids, max_obs=8):
+        """Phase 1 (under the map lock): pack each point's observed
+        descriptors into fixed (P, max_obs, D) arrays. Returns
+        (uniq_ids, descs, mask) or None."""
         mp_ids = np.asarray(mp_ids, int)
         mp_ids = mp_ids[self.mp_valid[mp_ids] & (self.mp_obs_count[mp_ids] >= 2)]
         if len(mp_ids) == 0:
-            return
+            return None
         kf_e, slot_e, mp_e = self.observing_slots(mp_ids)
         if len(kf_e) == 0:
-            return
+            return None
         order = np.argsort(mp_e, kind="stable")
         kf_s, slot_s, mp_s = kf_e[order], slot_e[order], mp_e[order]
         starts = np.r_[0, np.nonzero(np.diff(mp_s))[0] + 1]
@@ -543,9 +553,14 @@ class MapStore:
         mask = np.zeros((P, max_obs), bool)
         descs[loc[mp_s], cum] = self.kf_desc[kf_s, slot_s]
         mask[loc[mp_s], cum] = True
-        best = np.asarray(M.distinctive_descriptors(jnp.asarray(descs),
-                                                    jnp.asarray(mask)))
-        self.mp_desc[uniq] = best[: len(uniq)]
+        return uniq, descs, mask
+
+    def apply_distinctive(self, uniq, best):
+        """Phase 3 (under the map lock): write refreshed descriptors back,
+        skipping points removed while the kernel ran off the lock."""
+        alive = self.mp_valid[uniq]
+        uniq = uniq[alive]
+        self.mp_desc[uniq] = best[: len(alive)][alive]
         self.mark_points_dirty(uniq)
 
     def points_seen_by(self, kf_ids):
@@ -596,6 +611,18 @@ class MapStore:
         # cull redirects are an in-session trajectory-recovery aid; a loaded
         # snapshot starts with a fresh (empty) redirect table
         return m
+
+
+def distinctive_kernel(descs, mask):
+    """Phase 2 of the descriptor refresh (NO lock needed): the batched
+    min-median-distance selection kernel on the packed observation
+    arrays."""
+    import jax.numpy as jnp
+
+    from ..ops import matching as M
+
+    return np.asarray(M.distinctive_descriptors(jnp.asarray(descs),
+                                                jnp.asarray(mask)))
 
 
 _ARRAY_FIELDS = [
