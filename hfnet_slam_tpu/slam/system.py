@@ -253,8 +253,22 @@ class SLAMSystem:
         if self.gba_worker is not None:
             self.gba_worker.drain()
 
+    def start_webviewer(self, host="127.0.0.1", port=0, **kw):
+        """Launch the live in-browser viewer (the reference's Pangolin
+        window thread, src/System.cc:175-183 + src/Viewer.cc:162-196) and
+        attach it as this system's frame hook. Returns the viewer; open
+        `viewer.url` in a browser."""
+        from ..utils.webviewer import WebViewer
+
+        lock = self.worker.map_lock if self.worker is not None else None
+        self.viewer = WebViewer(host=host, port=port, lock=lock, **kw)
+        return self.viewer
+
     def shutdown(self):
         """System::Shutdown analogue: drain and stop the worker threads."""
+        if self.viewer is not None and hasattr(self.viewer, "close"):
+            self.viewer.release()
+            self.viewer.close()
         if self.worker is not None:
             self.worker.drain()
             self.worker.stop()

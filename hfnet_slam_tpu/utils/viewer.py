@@ -119,14 +119,19 @@ class LiveViewer:
             self._released = True
             self._cv.notify_all()
 
-    # -- hooks called by the system --------------------------------------
-    def on_frame(self, store, tracker):
-        self.frames += 1
+    def _gate(self):
+        """Block while step-by-step mode is armed and no steps remain
+        (Tracking::mbStep wait loop). Shared with WebViewer."""
         with self._cv:
             while self._step_mode and self._steps <= 0 and not self._released:
                 self._cv.wait(timeout=0.1)
             if self._steps > 0:
                 self._steps -= 1
+
+    # -- hooks called by the system --------------------------------------
+    def on_frame(self, store, tracker):
+        self.frames += 1
+        self._gate()
         n_kf = int(store.kf_valid.sum())
         if n_kf - self._last_kf_count >= self.every_kf:
             self._last_kf_count = n_kf
